@@ -1,0 +1,7 @@
+from senas_tpu.data.base import (
+    DATASETS,
+    DataLoader,
+    DatasetSpec,
+    get_dataset,
+    get_dataset_spec,
+)

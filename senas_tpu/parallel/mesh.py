@@ -1,0 +1,106 @@
+"""Device-mesh / sharding layer — the distributed backend of the framework.
+
+The reference's only parallelism is single-host nn.DataParallel plus a
+hand-rolled scatter/replicate path for the supernet (SURVEY.md §2.2;
+reference experiments/train_model.py:135-137, search/senas_search.py:262-279).
+Here the equivalent — and its generalization — is ONE abstraction:
+a `jax.sharding.Mesh` with named axes, jit with sharding annotations, and
+XLA-inserted collectives over ICI.
+
+Axes:
+  * "data"    — batch sharding (the DataParallel equivalent). Gradients are
+                reduced by XLA `psum` automatically (GSPMD), replacing NCCL
+                broadcast/gather.
+  * "spatial" — optional spatial partitioning of the image H axis. XLA GSPMD
+                inserts halo exchanges for the convs; this is the TPU-native
+                scaling axis for large medical volumes where batch is small
+                (the reference's analogous axis is crop/resize at data time,
+                SURVEY.md §5 "long-context").
+
+Model/arch parameters are replicated: the supernet's arch tables are k×6
+scalars tables, and the CNN weights are small relative to activations — the
+bandwidth-optimal layout for this family is pure data+spatial sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh description. data*spatial must equal the device count."""
+
+    data: int
+    spatial: int = 1
+
+    @property
+    def axis_names(self):
+        return ("data", "spatial")
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              spec: Optional[MeshSpec] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if spec is None:
+        spec = MeshSpec(data=n, spatial=1)
+    assert spec.data * spec.spatial == n, (
+        f"mesh {spec} does not match {n} devices")
+    arr = np.array(devices).reshape(spec.data, spec.spatial)
+    return Mesh(arr, spec.axis_names)
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    """Sharding for [B, H, W, C] batches: B over data, H over spatial."""
+    return NamedSharding(mesh, P("data", "spatial" if spatial else None, None, None))
+
+
+def label_sharding(mesh: Mesh, spatial: bool = True) -> NamedSharding:
+    """Sharding for [B, H, W] integer label maps."""
+    return NamedSharding(mesh, P("data", "spatial" if spatial else None, None))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any], spatial: bool = True) -> Dict[str, Any]:
+    """Place a host batch dict onto the mesh with data(+spatial) sharding."""
+    out = {}
+    for k, v in batch.items():
+        if v.ndim >= 4:
+            s = batch_sharding(mesh, spatial)
+        elif v.ndim == 3:
+            s = label_sharding(mesh, spatial)
+        else:
+            s = NamedSharding(mesh, P("data"))
+        out[k] = jax.device_put(v, s)
+    return out
+
+
+def place_state(mesh: Mesh, state):
+    """Replicate a train state pytree across the mesh (committed)."""
+    rep = replicate(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True,
+                     static_argnums=()):
+    """Jit a train step for the mesh.
+
+    The caller places the state with `place_state` (replicated) and batches
+    with `shard_batch` (data+spatial). jit respects those committed
+    shardings; GSPMD propagates them through the step and inserts the
+    gradient psum over "data" / halo exchanges over "spatial" automatically.
+    """
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate_state else (),
+        static_argnums=static_argnums,
+    )

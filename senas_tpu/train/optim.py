@@ -1,0 +1,301 @@
+"""Optimizers and LR schedules (optax, torch-semantics parity).
+
+Optimizer parity notes (reference utils/optimizers/__init__.py:16-36):
+  * weight_decay is torch-style coupled L2 (wd*param added to the gradient
+    BEFORE momentum / moment estimation), expressed as
+    optax.add_decayed_weights placed before the base transform.
+  * sgd matches torch.optim.SGD (heavy-ball trace, no Nesterov, no dampening).
+  * adam matches torch.optim.Adam incl. the `betas` tuple from YAML.
+  * adabound is implemented natively (the reference depends on the adabound
+    package); final_lr 0.1, clipped Adam step per the paper.
+
+LR schedules (reference utils/schedulers/) are epoch-indexed host-side
+functions; the trainer injects lr(epoch) into the jitted step as a scalar
+argument each epoch (never retracing). Scheduler names: constant_lr /
+poly_lr / multi_step / step_lr / cos / exp_lr, plus the WarmUpLR wrapper and
+CosineAnnealingWithRestartsLR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Schedule = Callable[[int], float]
+
+
+# ---------------------------------------------------------------------------
+# AdaBound (Luo et al. 2019) as an optax transform
+# ---------------------------------------------------------------------------
+
+class AdaBoundState(NamedTuple):
+    count: jax.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_adabound(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                      final_lr: float = 0.1, gamma: float = 1e-3,
+                      base_lr: float = 1e-3) -> optax.GradientTransformation:
+    """Adam with per-element step-size clipped to a band converging to
+    final_lr. Emits updates already scaled by the (bounded) step size, so it
+    must be followed by plain sign flip (scale(-1)), not by a lr scale —
+    the lr dependence is inside the bound, as in the reference package."""
+
+    def init_fn(params):
+        return AdaBoundState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        c = count.astype(jnp.float32)
+        bc1 = 1 - b1 ** c
+        bc2 = 1 - b2 ** c
+        # torch-adabound: step_size = lr * sqrt(bc2)/bc1, bounds scale with
+        # lr/base_lr
+        ratio = learning_rate / base_lr
+        lower = final_lr * ratio * (1 - 1 / (gamma * c + 1))
+        upper = final_lr * ratio * (1 + 1 / (gamma * c))
+        step_size = learning_rate * jnp.sqrt(bc2) / bc1
+
+        def _u(m, v):
+            denom = jnp.sqrt(v) + eps
+            step = jnp.clip(step_size / denom, lower, upper)
+            return step * m
+
+        new_updates = jax.tree.map(_u, mu, nu)
+        return new_updates, AdaBoundState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer factory
+# ---------------------------------------------------------------------------
+
+def build_optimizer(opt_cfg: Optional[Dict[str, Any]]) -> optax.GradientTransformation:
+    """Build an optax optimizer from a reference-schema config dict.
+
+    The returned transform is wrapped in optax.inject_hyperparams, so
+    `opt_state.hyperparams['learning_rate']` can be reassigned per epoch by
+    the scheduler without retracing the jitted step.
+    """
+    if opt_cfg is None:
+        opt_cfg = {"name": "sgd", "lr": 0.01}
+    cfg = dict(opt_cfg)
+    name = cfg.pop("name", "sgd").lower()
+    lr = float(cfg.pop("lr", 1e-3))
+    wd = float(cfg.pop("weight_decay", 0.0))
+
+    def with_wd(base):
+        if wd > 0:
+            return optax.chain(optax.add_decayed_weights(wd), base)
+        return base
+
+    if name == "sgd":
+        momentum = cfg.pop("momentum", 0.0) or None
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.sgd(learning_rate, momentum=momentum, nesterov=False))
+
+        return make(learning_rate=lr)
+
+    if name == "adam":
+        betas = cfg.pop("betas", (0.9, 0.999))
+        eps = cfg.pop("eps", 1e-8)
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps))
+
+        return make(learning_rate=lr)
+
+    if name == "adamax":
+        betas = cfg.pop("betas", (0.9, 0.999))
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.adamax(learning_rate, b1=betas[0], b2=betas[1]))
+
+        return make(learning_rate=lr)
+
+    if name == "adadelta":
+        rho = cfg.pop("rho", 0.9)
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.adadelta(learning_rate, rho=rho))
+
+        return make(learning_rate=lr)
+
+    if name == "adagrad":
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.adagrad(learning_rate))
+
+        return make(learning_rate=lr)
+
+    if name == "rmsprop":
+        alpha = cfg.pop("alpha", 0.99)
+        momentum = cfg.pop("momentum", 0.0)
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.rmsprop(learning_rate, decay=alpha, momentum=momentum,
+                                         eps=cfg.get("eps", 1e-8)))
+
+        return make(learning_rate=lr)
+
+    if name == "asgd":
+        # torch ASGD ~ SGD with tail averaging; the averaged copy only affects
+        # reported params, not the trajectory, so plain SGD is the matching
+        # update rule.
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return with_wd(optax.sgd(learning_rate))
+
+        return make(learning_rate=lr)
+
+    if name == "adabound":
+        betas = cfg.pop("betas", (0.9, 0.999))
+        final_lr = cfg.pop("final_lr", 0.1)
+        gamma = cfg.pop("gamma", 1e-3)
+
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd > 0 else optax.identity(),
+                scale_by_adabound(learning_rate, b1=betas[0], b2=betas[1],
+                                  final_lr=final_lr, gamma=gamma, base_lr=lr),
+                optax.scale(-1.0),
+            )
+
+        # adabound consumes learning_rate inside scale_by_adabound
+        return make(learning_rate=lr)
+
+    raise NotImplementedError(f"Optimizer {name} not implemented")
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Reassign the injected learning rate (host-side, between epochs)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+# ---------------------------------------------------------------------------
+# Epoch-indexed LR schedules
+# ---------------------------------------------------------------------------
+
+def constant_lr(base_lr: float, **_) -> Schedule:
+    return lambda epoch: base_lr
+
+
+def cosine_lr(base_lr: float, T_max: int, eta_min: float = 0.0, **_) -> Schedule:
+    def fn(epoch: int) -> float:
+        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / T_max)) / 2
+    return fn
+
+
+def cosine_restarts_lr(base_lr: float, T_max: int, eta_min: float = 0.0,
+                       T_mult: float = 1, **_) -> Schedule:
+    def fn(epoch: int) -> float:
+        restart_every = T_max
+        restarted_at = 0
+        while epoch - restarted_at >= restart_every:
+            restarted_at = epoch
+            restart_every *= T_mult
+        step_n = epoch - restarted_at
+        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * step_n / restart_every)) / 2
+    return fn
+
+
+def poly_lr(base_lr: float, max_iter: int, decay_iter: int = 1, gamma: float = 0.9, **_) -> Schedule:
+    def fn(epoch: int) -> float:
+        # reference PolynomialLR semantics (schedulers.py:72-77): only decays
+        # on epochs divisible by both decay_iter and max_iter
+        if epoch % decay_iter or epoch % max_iter:
+            return base_lr
+        return base_lr * (1 - epoch / float(max_iter)) ** gamma
+    return fn
+
+
+def multi_step_lr(base_lr: float, milestones, gamma: float = 0.1, **_) -> Schedule:
+    milestones = sorted(milestones)
+
+    def fn(epoch: int) -> float:
+        k = sum(1 for m in milestones if m <= epoch)
+        return base_lr * gamma ** k
+    return fn
+
+
+def step_lr(base_lr: float, step_size: int, gamma: float = 0.1, **_) -> Schedule:
+    return lambda epoch: base_lr * gamma ** (epoch // step_size)
+
+
+def exp_lr(base_lr: float, gamma: float, **_) -> Schedule:
+    return lambda epoch: base_lr * gamma ** epoch
+
+
+def warmup(schedule: Schedule, warmup_iters: int = 100, mode: str = "linear",
+           gamma: float = 0.2) -> Schedule:
+    def fn(epoch: int) -> float:
+        cold = schedule(epoch)
+        if epoch < warmup_iters:
+            if mode == "linear":
+                alpha = epoch / float(warmup_iters)
+                factor = gamma * (1 - alpha) + alpha
+            elif mode == "constant":
+                factor = gamma
+            else:
+                raise KeyError(f"WarmUp type {mode} not implemented")
+            return factor * cold
+        return cold
+    return fn
+
+
+_SCHEDULES = {
+    "constant_lr": constant_lr,
+    "poly_lr": poly_lr,
+    "multi_step": multi_step_lr,
+    "step_lr": step_lr,
+    "cos": cosine_lr,
+    "cos_restarts": cosine_restarts_lr,
+    "exp_lr": exp_lr,
+}
+
+
+def build_scheduler(base_lr: float, scheduler_dict: Optional[Dict[str, Any]],
+                    last_epoch: int = -1) -> Schedule:
+    """Scheduler factory mirroring utils/schedulers/__init__.py:15-45.
+
+    `last_epoch` exists for resume parity; the returned schedule is a pure
+    fn(epoch)->lr so resuming only requires calling it with the right epoch.
+    """
+    if scheduler_dict is None:
+        return constant_lr(base_lr)
+    cfg = dict(scheduler_dict)
+    s_type = cfg.pop("name")
+    warm = {}
+    if "warmup_iters" in cfg:
+        warm["warmup_iters"] = cfg.pop("warmup_iters", 100)
+        warm["mode"] = cfg.pop("warmup_mode", "linear")
+        warm["gamma"] = cfg.pop("warmup_factor", 0.2)
+    base = _SCHEDULES[s_type](base_lr, **cfg)
+    if warm:
+        return warmup(base, **warm)
+    return base

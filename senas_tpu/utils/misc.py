@@ -1,0 +1,86 @@
+"""Infra utilities (device info, seeding, parameter counting, class weights).
+
+TPU-native equivalents of utils/utils.py helpers: device memory via
+jax.Device.memory_stats() instead of nvidia-smi parsing (utils.py:146-152,
+313-320), parameter count over a params pytree (utils.py:155), log-scaled
+class weights (utils.py:302-310)."""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Tuple
+
+import jax
+import numpy as np
+
+
+def set_seed(seed: int):
+    """Seed host-side RNGs (numpy + python). JAX keys are explicit."""
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def calc_parameters_count(params) -> float:
+    """Parameter count in M (utils.py:155)."""
+    return sum(x.size for x in jax.tree.leaves(params)) / 1e6
+
+
+def get_gpus_memory_info() -> Tuple[int, Dict]:
+    """Pick the accelerator with most free memory; returns (index, stats).
+
+    Replaces the nvidia-smi parse (utils.py:146-152). On TPU/CPU backends
+    without memory_stats this degrades to device 0."""
+    best, best_free, stats = 0, -1, {}
+    for i, d in enumerate(jax.devices()):
+        try:
+            s = d.memory_stats() or {}
+        except Exception:
+            s = {}
+        stats[i] = s
+        free = s.get("bytes_limit", 0) - s.get("bytes_in_use", 0)
+        if free > best_free:
+            best, best_free = i, free
+    return best, stats
+
+
+def device_memory_log(logger=None) -> Dict:
+    """Log per-device memory (gpu_memory_log.py equivalent)."""
+    _, stats = get_gpus_memory_info()
+    for i, s in stats.items():
+        line = (f"device {i}: in_use={s.get('bytes_in_use', 0)/2**20:.1f}MiB "
+                f"limit={s.get('bytes_limit', 0)/2**20:.1f}MiB "
+                f"peak={s.get('peak_bytes_in_use', 0)/2**20:.1f}MiB")
+        (logger.info if logger else print)(line)
+    return stats
+
+
+def one_hot_encoding(labels: np.ndarray, nclass: int) -> np.ndarray:
+    """[B,H,W] int -> [B,nclass,H,W] one-hot (utils.py:216-230 layout)."""
+    out = np.zeros((labels.shape[0], nclass) + labels.shape[1:], np.float32)
+    for c in range(nclass):
+        out[:, c] = labels == c
+    return out
+
+
+def create_class_weight(labels_dict: Dict[int, float], mu: float = 0.15) -> List[float]:
+    """Log-scaled class weights (utils.py:302-310)."""
+    total = sum(labels_dict.values())
+    weights = []
+    for key in sorted(labels_dict):
+        score = math.log(mu * total / float(labels_dict[key]))
+        weights.append(score if score > 1.0 else 1.0)
+    return weights
+
+
+def flops_params_info(apply_fn, variables, example_input) -> Dict[str, float]:
+    """Static cost analysis via XLA (replaces ptflops/torchstat,
+    utils.py:323-330): returns analyzed FLOPs and parameter count."""
+    lowered = jax.jit(lambda v, x: apply_fn(v, x, False)).lower(variables, example_input)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return {
+        "flops": float((cost or {}).get("flops", -1.0)),
+        "params_m": calc_parameters_count(variables.get("params", variables)),
+    }

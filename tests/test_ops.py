@@ -1,0 +1,154 @@
+"""Primitive ops: shape and numerics checks (cross-checked vs torch CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from senas_tpu.core.genotype import DownOps, NormOps, UpOps
+from senas_tpu.ops import primitives as P
+
+
+def _init_apply(mod, x, train=False, rngs=None):
+    rngs = rngs or {"params": jax.random.PRNGKey(0)}
+    variables = mod.init(rngs, x, train)
+    out = mod.apply(variables, x, train,
+                    mutable=["batch_stats"] if "batch_stats" in variables else False)
+    if isinstance(out, tuple):
+        out = out[0]
+    return out, variables
+
+
+class TestFunctionalPrimitives:
+    def test_avg_pool_count_include_pad_false(self):
+        import torch
+        import torch.nn.functional as F
+        x = np.random.RandomState(0).rand(2, 9, 9, 3).astype(np.float32)
+        ours = np.asarray(P.avg_pool_3x3(jnp.asarray(x), stride=2))
+        theirs = F.avg_pool2d(torch.tensor(x).permute(0, 3, 1, 2), 3, stride=2,
+                              padding=1, count_include_pad=False)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_max_pool(self):
+        import torch
+        import torch.nn.functional as F
+        x = np.random.RandomState(1).rand(2, 8, 8, 3).astype(np.float32)
+        ours = np.asarray(P.max_pool_3x3(jnp.asarray(x), stride=2))
+        theirs = F.max_pool2d(torch.tensor(x).permute(0, 3, 1, 2), 3, stride=2, padding=1)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_upsample_bilinear_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+        x = np.random.RandomState(2).rand(1, 6, 6, 2).astype(np.float32)
+        ours = np.asarray(P.upsample2x(jnp.asarray(x)))
+        theirs = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), scale_factor=2,
+                               mode="bilinear", align_corners=False)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("k,d", [(3, 1), (5, 2), (5, 3)])
+    def test_conv_shapes_stride1_and_2(self, k, d):
+        x = jnp.zeros((2, 16, 16, 4))
+        w = jnp.zeros((k, k, 4, 8))
+        assert P.conv2d(x, w, stride=1, dilation=d).shape == (2, 16, 16, 8)
+        assert P.conv2d(x, w, stride=2, dilation=d).shape == (2, 8, 8, 8)
+
+    @pytest.mark.parametrize("k,d", [(3, 1), (5, 2), (5, 3)])
+    def test_conv_transpose_doubles(self, k, d):
+        """UP ops must exactly double spatial dims (torch output_padding=1)."""
+        x = jnp.zeros((2, 8, 8, 4))
+        w = jnp.zeros((k, k, 4, 8))
+        out = P.conv_transpose2d(x, w, stride=2, dilation=d, output_padding=1)
+        assert out.shape == (2, 16, 16, 8)
+
+    def test_conv_matches_torch_numerics(self):
+        import torch
+        import torch.nn.functional as F
+        rs = np.random.RandomState(3)
+        x = rs.rand(2, 10, 10, 3).astype(np.float32)
+        w = rs.rand(5, 5, 3, 7).astype(np.float32)
+        ours = np.asarray(P.conv2d(jnp.asarray(x), jnp.asarray(w), stride=2, dilation=2))
+        tw = torch.tensor(w).permute(3, 2, 0, 1)  # HWIO -> OIHW
+        theirs = F.conv2d(torch.tensor(x).permute(0, 3, 1, 2), tw, stride=2,
+                          padding=4, dilation=2)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        # fp32 accumulation order differs between XLA and torch; 5e-3 rel
+        np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=1e-3)
+
+    def test_channel_shuffle(self):
+        x = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 8)
+        out = P.channel_shuffle(x, 2)
+        np.testing.assert_array_equal(
+            np.asarray(out).ravel(), [0, 4, 1, 5, 2, 6, 3, 7])
+
+
+class TestCandidateOps:
+    """Every candidate op in the three op sets: correct output shape."""
+
+    @pytest.mark.parametrize("name", DownOps)
+    def test_down_ops_halve(self, name):
+        x = jnp.ones((2, 16, 16, 6))
+        mod = P.make_op(name, 6, 4, P.OpType.DOWN)
+        out, _ = _init_apply(mod, x, train=False)
+        assert out.shape == (2, 8, 8, 4), name
+
+    @pytest.mark.parametrize("name", UpOps)
+    def test_up_ops_double(self, name):
+        x = jnp.ones((2, 8, 8, 6))
+        mod = P.make_op(name, 6, 4, P.OpType.UP)
+        out, _ = _init_apply(mod, x, train=False)
+        assert out.shape == (2, 16, 16, 4), name
+
+    @pytest.mark.parametrize("name", NormOps)
+    def test_norm_ops_keep(self, name):
+        x = jnp.ones((2, 8, 8, 6))
+        mod = P.make_op(name, 6, 4, P.OpType.NORM)
+        out, _ = _init_apply(mod, x, train=False)
+        assert out.shape == (2, 8, 8, 4), name
+
+    def test_none_op_is_zero_pre_norm(self):
+        """'none' zeroes the signal; after BN (eval, zero-init stats) stays 0."""
+        x = jnp.ones((2, 8, 8, 4))
+        mod = P.make_op("none", 4, 4, P.OpType.NORM)
+        out, _ = _init_apply(mod, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_identity_op_passthrough_shape(self):
+        x = jnp.ones((2, 8, 8, 4))
+        mod = P.make_op("identity", 4, 4, P.OpType.NORM)
+        out, _ = _init_apply(mod, x, train=False)
+        assert out.shape == x.shape
+
+
+class TestBlocks:
+    def test_basic_block_residual(self):
+        x = jnp.ones((2, 8, 8, 16))
+        mod = P.BasicBlock(planes=16)
+        out, _ = _init_apply(mod, x)
+        assert out.shape == x.shape
+
+    def test_se_block(self):
+        x = jnp.ones((2, 8, 8, 32))
+        mod = P.SEBlock()
+        variables = mod.init({"params": jax.random.PRNGKey(0)}, x)
+        out = mod.apply(variables, x)
+        assert out.shape == x.shape
+        # mid features = 32//16 = 2
+        assert variables["params"]["Dense_0"]["kernel"].shape == (32, 2)
+
+    def test_rectify_resample_paths(self):
+        # conv-free paths (c_in == c_out)
+        for ct, hw in [("down", 8), ("up", 32)]:
+            mod = P.RectifyResample(16, ct)
+            out, _ = _init_apply(mod, jnp.ones((2, 16, 16, 16)))
+            assert out.shape == (2, hw, hw, 16), ct
+        # conv paths (c_in != c_out)
+        for ct, hw in [("down", 8), ("up", 32)]:
+            mod = P.RectifyResample(24, ct)
+            out, variables = _init_apply(mod, jnp.ones((2, 16, 16, 16)))
+            assert out.shape == (2, hw, hw, 24), ct
+            assert "kernel" in variables["params"]

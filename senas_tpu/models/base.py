@@ -1,0 +1,128 @@
+"""Baseline-zoo shared blocks (encoder-decoder segmentation models).
+
+Flax/NHWC re-designs of the composition blocks used by the vendored smp
+baselines (reference segmentation_models_pytorch/base/): Conv2dReLU
+(modules.py:10), SCSE attention (modules.py:50), SegmentationHead
+(heads.py:5), ClassificationHead (heads.py:14), and the
+encoder->decoder->head composition (base/model.py:13-24).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from senas_tpu.ops.primitives import (build_norm, conv2d, kaiming_normal, relu,
+                                      upsample2x, xavier_uniform)
+
+
+class Conv2dReLU(nn.Module):
+    """conv -> [BN] -> ReLU."""
+
+    c_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_batchnorm: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        w = self.param("kernel", kaiming_normal, (k, k, x.shape[-1], self.c_out),
+                       jnp.float32)
+        x = conv2d(x, w.astype(x.dtype), stride=self.stride)
+        if self.use_batchnorm:
+            x = build_norm(self.dtype)(x, use_running_average=not train)
+        else:
+            b = self.param("bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+            x = x + b.astype(x.dtype)
+        return relu(x)
+
+
+class SCSEModule(nn.Module):
+    """Concurrent spatial & channel SE (modules.py:50-73)."""
+
+    reduction: int = 16
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mid = max(1, c // self.reduction)
+        # channel SE
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.Dense(mid, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = relu(y)
+        y = nn.Dense(c, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        cse = x * nn.sigmoid(y)[:, None, None, :]
+        # spatial SE
+        w = self.param("s_kernel", kaiming_normal, (1, 1, c, 1), jnp.float32)
+        sse = x * nn.sigmoid(conv2d(x, w.astype(x.dtype)))
+        return cse + sse
+
+
+class Attention(nn.Module):
+    """None | 'scse' dispatch (modules.py:107-119)."""
+
+    attention_type: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.attention_type is None:
+            return x
+        if self.attention_type == "scse":
+            return SCSEModule(dtype=self.dtype)(x)
+        raise ValueError(f"unknown attention {self.attention_type!r}")
+
+
+def upsample_nearest2x(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+def upsample_bilinear(x, factor: int):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
+
+
+class SegmentationHead(nn.Module):
+    """3x3 conv (+bias) -> optional bilinear upsample (heads.py:5-11)."""
+
+    classes: int
+    kernel_size: int = 3
+    upsampling: int = 1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param("kernel", kaiming_normal, (k, k, x.shape[-1], self.classes),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.classes,), jnp.float32)
+        x = conv2d(x, w.astype(x.dtype)) + b.astype(x.dtype)
+        if self.upsampling > 1:
+            x = upsample_bilinear(x, self.upsampling)
+        return x
+
+
+class ClassificationHead(nn.Module):
+    """avg/max pool -> dropout -> linear (heads.py:14-25)."""
+
+    classes: int
+    pooling: str = "avg"
+    dropout: float = 0.2
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.pooling == "avg":
+            y = jnp.mean(x, axis=(1, 2))
+        else:
+            y = jnp.max(x, axis=(1, 2))
+        if self.dropout and train:
+            y = nn.Dropout(self.dropout)(y, deterministic=not train)
+        return nn.Dense(self.classes, kernel_init=xavier_uniform, dtype=self.dtype)(y)

@@ -1,0 +1,111 @@
+"""Evaluation runner (experiments/testing_model.py parity): load a
+checkpoint, evaluate on the val split, save per-image predicted masks and
+input|pred|gt grid PNGs."""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from senas_tpu.core.genotype import parse_genotype
+from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
+from senas_tpu.models import geno_searched
+from senas_tpu.models.factory import get_segmentation_model
+from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
+                                     resolve_dataset_kwargs, to_device_batch)
+from senas_tpu.train.checkpoint import CheckpointManager
+from senas_tpu.train.loss import build_loss
+from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
+from senas_tpu.train.optim import build_optimizer
+from senas_tpu.train.trainer import FixedTrainState, make_eval_step
+from senas_tpu.utils.logging import get_logger, make_run_dir, store_images
+
+
+class TestRunner:
+    def __init__(self, cfg: Dict[str, Any], model_name: str = "senas",
+                 genotype_str: str = "", resume: Optional[str] = None,
+                 config_path: Optional[str] = None,
+                 data_root: str = DEFAULT_DATA_ROOT,
+                 log_root: str = DEFAULT_LOG_ROOT, batch_size: int = 6,
+                 dtype=None):
+        self.cfg = cfg
+        t = cfg["training"]
+        ds_name = cfg["data"]["dataset"]
+        self.run_dir = make_run_dir(log_root, model_name, "testing", ds_name,
+                                    config_path)
+        self.logger = get_logger(self.run_dir)
+        self.image_dir = os.path.join(self.run_dir, "images")
+        os.makedirs(self.image_dir, exist_ok=True)
+
+        dkw = resolve_dataset_kwargs(cfg)
+        valset = get_dataset(ds_name, path=data_root,
+                             split=cfg["data"].get("split", "val"), mode="val", **dkw)
+        spec = get_dataset_spec(ds_name)
+        self.n_classes = spec.num_class
+        self.valid_queue = DataLoader(valset, batch_size, shuffle=False)
+
+        if genotype_str:
+            genotype = parse_genotype(genotype_str)
+        else:
+            genotype = getattr(geno_searched, t.get("geno_type", "senas"))
+        self.model = get_segmentation_model(
+            model_name, dataset=ds_name, c=t.get("init_channels", 32),
+            depth=t.get("depth", 5), supervision=False, genotype=genotype,
+            double_down_channel=t.get("double_down_channel", False), dtype=dtype)
+
+        hw = spec.crop_size
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        x0 = jnp.zeros((batch_size, hw[0], hw[1], spec.in_channels), jnp.float32)
+        variables = self.model.init({"params": rng}, x0, False)
+        tx = build_optimizer({"name": "sgd", "lr": 1e-3})
+        self.state = FixedTrainState.create(variables, tx)
+
+        if resume is None:
+            self.logger.error("resume checkpoint required for testing")
+            sys.exit(1)
+        mgr = CheckpointManager(resume)
+        name = "best" if mgr.exists("best") else "last"
+        if not mgr.exists(name):
+            self.logger.error("checkpoint %s not found", resume)
+            sys.exit(1)
+        restored = mgr.restore(self.state, name)
+        self.state = jax.tree.map(jnp.asarray, restored["state"])
+        self.logger.info("loaded checkpoint %s (%s)", resume, name)
+
+        loss_cfg = t.get("loss") or {}
+        loss_name = loss_cfg.get("name", "dice_ce") if isinstance(loss_cfg, dict) else "dice_ce"
+        self.loss_fn = build_loss(loss_name)
+        self._eval = make_eval_step(self.model.apply, self.loss_fn)
+
+    def run(self, save_images: bool = True) -> Dict[str, float]:
+        metric = SegmentationMetric(self.n_classes)
+        loss_meter = AverageMeter()
+        img_idx = 0
+        from PIL import Image
+        for batch in self.valid_queue:
+            out = self._eval(self.state.params, self.state.batch_stats,
+                             to_device_batch(batch))
+            metric.update_counts(np.asarray(out["tp"]), np.asarray(out["fp"]),
+                                 np.asarray(out["fn"]), float(out["acc"]))
+            loss_meter.update(float(out["loss"]), n=batch["image"].shape[0])
+            if save_images:
+                preds = np.asarray(out["pred"])
+                for i in range(preds.shape[0]):
+                    scale = 255 // max(1, self.n_classes - 1)
+                    Image.fromarray((preds[i] * scale).astype(np.uint8)).save(
+                        os.path.join(self.image_dir, f"{img_idx:05d}.png"))
+                    img_idx += 1
+                grid = store_images(batch["image"], preds, batch["label"],
+                                    self.n_classes)
+                Image.fromarray(grid).save(
+                    os.path.join(self.image_dir, f"grid_{img_idx:05d}.png"))
+        pixacc, miou, dice = metric.get()
+        self.logger.info("val loss %f pixAcc %s mIoU %s dice %s",
+                         loss_meter.avg, pixacc, miou, dice)
+        return {"loss": loss_meter.avg, "pixAcc": pixacc, "mIoU": miou,
+                "dice": dice}

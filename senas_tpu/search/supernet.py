@@ -26,6 +26,7 @@ from flax import linen as nn
 from senas_tpu.core.genotype import DownOps, Genotype, GenoParser, NormOps, UpOps
 from senas_tpu.ops.primitives import BasicBlock, ConvBn, ReLUConv, max_pool_3x3, relu
 from senas_tpu.search.cell import SearchCell
+from senas_tpu.search.fused_cell import FusedSearchCell
 
 
 def _num_edges(meta_node_num: int) -> int:
@@ -100,10 +101,12 @@ class SearchHead(nn.Module):
     c_in1: int
     nclass: int
     dtype: Optional[Any] = None
+    fused: bool = True
 
     def setup(self):
-        self.up_cell = SearchCell(self.meta_node_num, self.double_down, self.c_in0,
-                                  self.c_in1, self.c_in1, "up", dtype=self.dtype)
+        Cell = FusedSearchCell if self.fused else SearchCell
+        self.up_cell = Cell(self.meta_node_num, self.double_down, self.c_in0,
+                            self.c_in1, self.c_in1, "up", dtype=self.dtype)
         self.segmentation_head = ReLUConv(self.nclass, kernel_size=3, dtype=self.dtype)
 
     def __call__(self, s0, ot, w_up_nm, w_up, betas_up, train: bool = False):
@@ -126,9 +129,14 @@ class SenasSearch(nn.Module):
     double_down_channel: bool = False
     supervision: bool = False
     dtype: Optional[Any] = None
+    # fused=True uses the grouped-edge cell (search/fused_cell.py) — same
+    # math, ~3x smaller XLA graph and wider convs; False keeps the naive
+    # per-edge reference layout for cross-checking.
+    fused: bool = True
 
     def setup(self):
         assert self.depth >= 2, "depth must >= 2"
+        Cell = FusedSearchCell if self.fused else SearchCell
         double_down = 2 if self.double_down_channel else 1
         c_in0 = c_in1 = c_curr = self.c
 
@@ -145,8 +153,8 @@ class SenasSearch(nn.Module):
                 c_curr = int(double_down * c_curr)
                 down_f.append([c_in0, c_in1, c_curr, "down"])
                 down_cells.append(
-                    SearchCell(self.meta_node_num, double_down, c_in0, c_in1, c_curr,
-                               "down", dtype=self.dtype, name=f"down_{i}")
+                    Cell(self.meta_node_num, double_down, c_in0, c_in1, c_curr,
+                         "down", dtype=self.dtype, name=f"down_{i}")
                 )
                 c_in0, c_in1 = c_in1, c_curr
         num_filters.append(down_f)
@@ -160,14 +168,15 @@ class SenasSearch(nn.Module):
                 head_down = num_filters[i - 1][j + 1][2]
                 head_in0 = sum(num_filters[k][j][2] for k in range(i))
                 up_f.append([head_in0, head_down, head_curr, "up"])
-                up_cells[f"up_{i}_{j}"] = SearchCell(
+                up_cells[f"up_{i}_{j}"] = Cell(
                     self.meta_node_num, double_down, head_in0, head_down, head_curr,
                     "up", dtype=self.dtype, name=f"up_{i}_{j}")
             num_filters.append(up_f)
         self.up_cells = up_cells
 
         self.head = SearchHead(self.meta_node_num, double_down, self.c,
-                               num_filters[-1][0][2], self.nclass, dtype=self.dtype)
+                               num_filters[-1][0][2], self.nclass, dtype=self.dtype,
+                               fused=self.fused)
 
     def __call__(self, x, aw: Dict[str, jax.Array], train: bool = False):
         a_dn_nm, a_up_nm = aw["alphas_dn_nm"], aw["alphas_up_nm"]

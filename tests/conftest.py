@@ -4,8 +4,10 @@ JAX fake-backend trick; see SURVEY.md §4)."""
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax is imported anywhere. Force (not setdefault): the
+# machine profile sets JAX_PLATFORMS=axon (the TPU tunnel) and tests must
+# never compete for the single TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

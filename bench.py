@@ -1,0 +1,242 @@
+"""Benchmark harness — fills BASELINE.md's "to measure" column.
+
+Runs the two reference headline workloads (configs/senas/senas_promise12.yml
+shapes) on whatever accelerator this process gets (the real TPU chip under
+the driver; CPU as a labeled fallback):
+
+  1. Fixed-model training  — SenasModel(senas_node_4, c=32, depth=5),
+     batch 12, 256x256x1, dice_ce + SGD(momentum, wd) + grad-clip 5.
+     Matches the reference train hot loop (train_model.py:264-305).
+  2. Supernet bilevel search — SenasSearch(c=32, depth=5, meta=3), batch 8,
+     arch step on a val batch + weight step on a train batch per step.
+     Matches the reference search hot loop (search_arc.py:252-293).
+
+Prints ONE machine-parsable JSON line on stdout (the headline metric);
+full details go to bench_results.json and stderr.
+
+vs_baseline: ratio vs the PyTorch reference running the SAME fixed-train
+workload on this host (measured: 0.31 img/s on the 1-core CPU of this
+machine, see BASELINE.md). The reference repo publishes no GPU numbers, so
+this host-local measurement is the only reproducible baseline available.
+
+Usage: python bench.py [--quick] [--with-naive-search] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured on this host (1-core CPU, torch 2.13.0+cpu, reference
+# models/senas_model.py, batch 12 @ 256^2): 0.31 images/sec. See BASELINE.md.
+TORCH_REFERENCE_TRAIN_IMG_PER_SEC = 0.31
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 on the MXU.
+V5E_PEAK_FLOPS = 197e12
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_steps(step_once, n_steps: int) -> float:
+    """Median-of-runs seconds/step; step_once() must block until ready."""
+    times = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        step_once()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_fixed_train(batch: int, hw: int, steps: int, dtype=None):
+    from senas_tpu.models.geno_searched import senas_node_4
+    from senas_tpu.models.senas_model import SenasModel
+    from senas_tpu.train.loss import build_loss
+    from senas_tpu.train.optim import build_optimizer
+    from senas_tpu.train.trainer import FixedTrainState, make_train_step
+
+    model = SenasModel(nclass=2, in_channels=1, c=32, depth=5,
+                       genotype=senas_node_4, dtype=dtype)
+    x0 = jnp.zeros((batch, hw, hw, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    tx = build_optimizer({"name": "sgd", "lr": 6e-3, "momentum": 0.9,
+                          "weight_decay": 1e-4})
+    step = make_train_step(model.apply, build_loss("dice_ce"), tx, grad_clip=5.0,
+                           donate=True)
+
+    rs = np.random.RandomState(0)
+    batch_d = {
+        "image": jax.device_put(rs.randn(batch, hw, hw, 1).astype(np.float32)),
+        "label": jax.device_put(rs.randint(0, 2, (batch, hw, hw)).astype(np.int32)),
+    }
+    state = FixedTrainState.create(variables, tx)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch_d)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    loss0 = float(metrics["loss"])
+
+    holder = {"state": state}
+
+    def once():
+        holder["state"], m = step(holder["state"], batch_d)
+        jax.block_until_ready(m["loss"])
+
+    sec = _time_steps(once, steps)
+    # analyzed forward+backward+update flops of the whole compiled step
+    try:
+        cost = step.lower(holder["state"], batch_d).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float((cost or {}).get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    return {
+        "sec_per_step": sec,
+        "images_per_sec": batch / sec,
+        "compile_s": compile_s,
+        "loss_first_step": loss0,
+        "flops_per_step": flops,
+        "mfu": (flops / sec / V5E_PEAK_FLOPS) if flops else None,
+    }
+
+
+def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
+    from senas_tpu.search.supernet import (SenasSearch, init_arch_params,
+                                           normalize_arch)
+    from senas_tpu.train.loss import build_loss
+    from senas_tpu.train.optim import build_optimizer
+    from senas_tpu.train.trainer import SearchTrainState, make_search_step
+
+    meta, depth = 3, 5
+    net = SenasSearch(in_channels=1, c=32, nclass=2, depth=depth,
+                      meta_node_num=meta, fused=fused, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    arch = init_arch_params(jax.random.split(rng)[1], meta, depth)
+    x0 = jnp.zeros((batch, hw, hw, 1), jnp.float32)
+    aw = normalize_arch(arch, meta)
+    variables = net.init({"params": rng}, x0, aw, False)
+
+    loss_fn = build_loss("dice_ce")
+    w_tx = build_optimizer({"name": "sgd", "lr": 5e-3, "momentum": 0.9,
+                            "weight_decay": 1e-4})
+    a_tx = build_optimizer({"name": "adam", "lr": 1e-4, "weight_decay": 5e-4})
+    normalize = lambda a: normalize_arch(a, meta)
+    step = make_search_step(net.apply, normalize, loss_fn, w_tx, a_tx,
+                            grad_clip=5.0, donate=True)
+
+    rs = np.random.RandomState(0)
+    def mk():
+        return {
+            "image": jax.device_put(rs.randn(batch, hw, hw, 1).astype(np.float32)),
+            "label": jax.device_put(
+                rs.randint(0, 2, (batch, hw, hw)).astype(np.int32)),
+        }
+    tb, vb = mk(), mk()
+    state = SearchTrainState.create(variables, arch, w_tx, a_tx)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, tb, vb, True)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    holder = {"state": state}
+
+    def once():
+        holder["state"], m = step(holder["state"], tb, vb, True)
+        jax.block_until_ready(m["loss"])
+
+    sec = _time_steps(once, steps)
+    return {
+        "sec_per_step": sec,
+        "steps_per_sec": 1.0 / sec,
+        "images_per_sec": batch / sec,
+        "compile_s": compile_s,
+        "loss_first_step": float(metrics["loss"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes / few steps (CI smoke)")
+    ap.add_argument("--with-naive-search", action="store_true",
+                    help="also time the naive per-edge search cell")
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    quick = args.quick or platform == "cpu"
+    hw = 64 if quick else 256
+    steps = args.steps or (3 if quick else 20)
+    train_bs, search_bs = 12, 8
+
+    log(f"bench: platform={platform} device={jax.devices()[0]} hw={hw} steps={steps}")
+    results = {"platform": platform, "device": str(jax.devices()[0]), "hw": hw,
+               "steps_timed": steps}
+
+    log("fixed-train fp32 ...")
+    results["train_f32"] = bench_fixed_train(train_bs, hw, steps, dtype=None)
+    log(f"  {results['train_f32']['images_per_sec']:.2f} img/s "
+        f"({results['train_f32']['sec_per_step']*1e3:.1f} ms/step, "
+        f"compile {results['train_f32']['compile_s']:.1f}s)")
+
+    log("fixed-train bf16 ...")
+    results["train_bf16"] = bench_fixed_train(train_bs, hw, steps,
+                                              dtype=jnp.bfloat16)
+    log(f"  {results['train_bf16']['images_per_sec']:.2f} img/s "
+        f"({results['train_bf16']['sec_per_step']*1e3:.1f} ms/step)")
+
+    log("supernet search (fused cell) ...")
+    results["search_fused"] = bench_search(search_bs, hw, steps, fused=True)
+    log(f"  {results['search_fused']['steps_per_sec']:.3f} steps/s "
+        f"(compile {results['search_fused']['compile_s']:.1f}s)")
+
+    if args.with_naive_search:
+        log("supernet search (naive cell) ...")
+        results["search_naive"] = bench_search(search_bs, hw, steps, fused=False)
+        results["fused_speedup"] = (results["search_naive"]["sec_per_step"]
+                                    / results["search_fused"]["sec_per_step"])
+        log(f"  fused speedup: {results['fused_speedup']:.2f}x")
+
+    headline = results["train_bf16"] if (
+        results["train_bf16"]["images_per_sec"]
+        > results["train_f32"]["images_per_sec"]) else results["train_f32"]
+    results["headline"] = {
+        "metric": "senas_fixed_train_images_per_sec",
+        "value": round(headline["images_per_sec"], 3),
+        "unit": "images/sec/chip",
+        "workload": f"senas_node_4 c=32 depth=5 batch={train_bs} {hw}x{hw} dice_ce+sgd",
+        "baseline": TORCH_REFERENCE_TRAIN_IMG_PER_SEC,
+        "baseline_desc": "torch reference, same workload, this host's CPU "
+                         "(no reference-published numbers exist; BASELINE.md)",
+    }
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"details -> {out_path}")
+
+    vs = (headline["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC
+          if hw == 256 else None)  # only comparable at the real workload shape
+    print(json.dumps({
+        "metric": "senas_fixed_train_images_per_sec",
+        "value": round(headline["images_per_sec"], 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,94 +65,82 @@ class GenoParser:
     def __init__(self, meta_node_num: int = 4):
         self._meta_node_num = meta_node_num
 
+    @staticmethod
+    def _strongest_per_edge(table: np.ndarray, op_names):
+        """Vectorized per-edge pick: best non-'none' op and its weight.
+
+        Returns (weights[e], op_idx[e]) over the edge axis, plus the edge
+        ranking by strength (stable argsort, strongest first) — the same
+        ordering a stable sort on -weight produces.
+        """
+        usable = np.array([name != "none" for name in op_names])
+        masked = np.where(usable[None, :], table, -np.inf)
+        op_idx = masked.argmax(axis=1)
+        strength = masked.max(axis=1)
+        ranking = np.argsort(-strength, kind="stable")
+        return strength, op_idx, ranking
+
     def parse(self, weights1, weights2, cell_type: str):
-        weights1 = np.asarray(weights1)
-        weights2 = np.asarray(weights2)
+        """Discretize one cell's (beta-scaled) alpha tables into gene pairs.
+
+        Semantics match the reference discretization
+        (/root/reference/utils/genotype.py:13-90) exactly — verified by the
+        golden round-trip tests — but the edge bookkeeping here is
+        vectorized: per node, split the edge group into the
+        resolution-changing family (first 2 edges in a down cell; edge 1 in
+        an up cell) and the normal family (the rest), pick each edge's
+        strongest non-'none' op, keep at most the 2 strongest edges per
+        family, rescale the wider op-set family when the vocabularies
+        differ in size, then keep the global top-2 by (weight, op, input)
+        tuple order.
+        """
+        weights1 = np.asarray(weights1)  # NORM-edge table [k, |NormOps|]
+        weights2 = np.asarray(weights2)  # DOWN/UP-edge table [k, |chg ops|]
+        chg_ops = DownOps if cell_type == "down" else UpOps
+        n_chg = 2 if cell_type == "down" else 1
+
         gene = []
-        n = 2  # number of candidate inputs for the current meta-node
-        start = 0
-        inp2changedim = 2 if cell_type == "down" else 1
-        nc, _ = weights1.shape
-        for _ in range(self._meta_node_num):
-            normal_op_end = start + n
-            up_or_down_op_end = start + inp2changedim
-
-            mask1 = np.zeros(nc, dtype=bool)
-            mask2 = np.zeros(nc, dtype=bool)
-
+        group_start = 0
+        for node in range(self._meta_node_num):
+            group = np.arange(group_start, group_start + 2 + node)
             if cell_type == "down":
-                # down cell: the first two edges are DOWN ops, the rest NORM
-                mask1[up_or_down_op_end:normal_op_end] = True
-                mask2[start:up_or_down_op_end] = True
+                chg_rows, norm_rows = group[:2], group[2:]
+                chg_inputs = np.arange(len(chg_rows))           # inputs 0, 1
+                norm_inputs = np.arange(2, 2 + len(norm_rows))  # inner nodes
             else:
-                # up cell: edge 0 (horizontal input) is NORM, edge 1 is UP,
-                # inner edges are NORM
-                mask1[up_or_down_op_end + 1 : normal_op_end] = True
-                mask1[start:up_or_down_op_end] = True
-                mask2[up_or_down_op_end] = True
+                chg_rows, norm_rows = group[1:2], np.concatenate(
+                    [group[:1], group[2:]])
+                chg_inputs = np.array([1])                      # vertical input
+                norm_inputs = np.concatenate(
+                    [[0], np.arange(2, 1 + len(norm_rows))])    # 0 then inner
 
-            W1 = weights1[mask1].copy()  # normal edges
-            W2 = weights2[mask2].copy()  # down or up edges
-            gene_item1, gene_item2 = [], []
+            candidates = []  # (weight, op_name, input_idx) per family pick
+            for rows, inputs, ops in [(chg_rows, chg_inputs, chg_ops),
+                                      (norm_rows, norm_inputs, NormOps)]:
+                if len(rows) == 0:
+                    candidates.append([])
+                    continue
+                table = (weights2 if ops is chg_ops else weights1)[rows]
+                strength, op_idx, ranking = self._strongest_per_edge(table, ops)
+                picks = ranking[:2]
+                candidates.append([
+                    (strength[e], ops[op_idx[e]], int(inputs[e])) for e in picks
+                ])
+            chg_items, norm_items = candidates
 
-            if len(W2) >= 1:
-                cell_primitive = UpOps if cell_type == "up" else DownOps
-                edges2 = sorted(
-                    range(inp2changedim),
-                    key=lambda x: -max(
-                        W2[x][k] for k in range(len(W2[x])) if cell_primitive[k] != "none"
-                    ),
-                )[: min(len(W2), 2)]
-                for j in edges2:
-                    k_best = None
-                    for k in range(len(W2[j])):
-                        if cell_primitive[k] != "none":
-                            if k_best is None or W2[j][k] > W2[j][k_best]:
-                                k_best = k
-                    gene_item2.append(
-                        (
-                            W2[j][k_best],
-                            cell_primitive[k_best],
-                            j if cell_type == "down" else j + 1,
-                        )
-                    )
-
-            if len(W1) > 0:
-                cell_primitive = NormOps
-                edges1 = sorted(
-                    range(len(W1)),
-                    key=lambda x: -max(
-                        W1[x][k] for k in range(len(W1[x])) if cell_primitive[k] != "none"
-                    ),
-                )[: min(len(W1), 2)]
-                for j in edges1:
-                    k_best = None
-                    for k in range(len(W1[j])):
-                        if cell_primitive[k] != "none":
-                            if k_best is None or W1[j][k] > W1[j][k_best]:
-                                k_best = k
-                    gene_item1.append(
-                        (
-                            W1[j][k_best],
-                            cell_primitive[k_best],
-                            0 if j == 0 and cell_type == "up" else j + inp2changedim,
-                        )
-                    )
-
-            # Rescale when the two op-set sizes differ so the strengths are
-            # comparable before the global top-2 pick.
-            if len(W1) > 0 and len(W2) > 0 and len(W1[0]) != len(W2[0]):
-                normalize_scale = min(len(W1[0]), len(W2[0])) / max(len(W1[0]), len(W2[0]))
-                if len(W1[0]) > len(W2[0]):
-                    gene_item2 = [(w * normalize_scale, po, fid) for (w, po, fid) in gene_item2]
+            # comparable strengths across unequally-sized vocabularies:
+            # scale the larger-vocabulary family down by |small|/|large|
+            n1, n2 = len(NormOps), len(chg_ops)
+            if norm_items and chg_items and n1 != n2:
+                scale = min(n1, n2) / max(n1, n2)
+                if n1 > n2:
+                    norm_items = [(w * scale, op, i) for w, op, i in norm_items]
                 else:
-                    gene_item1 = [(w * normalize_scale, po, fid) for (w, po, fid) in gene_item1]
+                    chg_items = [(w * scale, op, i) for w, op, i in chg_items]
 
-            gene_item1 += gene_item2
-            gene += [(po, fid) for (_, po, fid) in sorted(gene_item1)[-2:]]
-
-            start = normal_op_end
-            n += 1
+            top2 = sorted(norm_items + chg_items)[-2:]
+            gene += [(op, inp) for _, op, inp in top2]
+            group_start += 2 + node
         return gene
 
 

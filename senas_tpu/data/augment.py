@@ -7,10 +7,11 @@ Parameterizations (offsets, flip probabilities, elastic alpha/sigma, crop
 area/aspect ranges) match the reference; resampling uses cv2 (bilinear for
 images, nearest for masks) like the reference's PIL/cv2 mix.
 
-At TPU batch rates this host pipeline can bottleneck; the heavy kernels
-(elastic deformation, CLAHE, curvature flow) have C++ implementations in
-senas_tpu/data/native (built lazily; these numpy/cv2 paths are the reference
-implementations and the fallback).
+At TPU batch rates this host pipeline can bottleneck; when the optional
+C++ extension (senas_tpu/data/native, built with `python -m
+senas_tpu.data.native.build`) is present, the heavy kernels (elastic
+deformation, curvature flow) dispatch to it; these numpy/cv2 paths are the
+reference implementations and the always-available fallback.
 """
 
 from __future__ import annotations
@@ -383,8 +384,16 @@ def smooth_images(imgs: np.ndarray, t_step: float = 0.125, n_iter: int = 5) -> n
     (augmentation.py:428-442): dI/dt = kappa * |grad I| with the standard
     finite-difference curvature discretization."""
     out = np.array(imgs, dtype=np.float64, copy=True)
+    try:
+        from senas_tpu.data import native
+    except ImportError:
+        native = None
+    use_native = native is not None and native.available()
     for idx in range(len(out)):
-        out[idx] = _curvature_flow(out[idx], t_step, n_iter)
+        if use_native:
+            out[idx] = native.curvature_flow(out[idx], t_step, n_iter)
+        else:
+            out[idx] = _curvature_flow(out[idx], t_step, n_iter)
     return out
 
 

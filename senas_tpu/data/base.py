@@ -37,6 +37,10 @@ SPECS: Dict[str, DatasetSpec] = {
     "promise12": DatasetSpec("promise12", "PROMISE2012", 2, 1, (256, 256), False),
     "chaos": DatasetSpec("chaos", "CHAOS/CT_data_batch/", 2, 1, (256, 256), True,
                          (0.2389,), (0.2801,)),
+    # MR mode: T1DUAL+T2SPIR series, 4 organ classes + background
+    # (chaos.py:86-88 TYPE flag)
+    "chaos_mr": DatasetSpec("chaos_mr", "CHAOS/MR_data_batch1/", 5, 1,
+                            (256, 256), True, (0.2389,), (0.2801,)),
     "heart": DatasetSpec("heart", "Task02_Heart/", 2, 1, (256, 320), False,
                          (0.3949544,), (0.41724333,)),
     "spleen": DatasetSpec("spleen", "Task09_Spleen/", 2, 1, (256, 256), True,
@@ -129,26 +133,11 @@ class DataLoader:
                 "label": np.stack(labels).astype(np.int32),
             }
 
-    def epoch_iterator(self, pad_to_batch: bool = True):
-        """Iterate with the final partial batch zero-padded to batch_size
-        (static shapes for jit; 'pad_mask' marks the real rows)."""
-        for batch in self:
-            n = batch["image"].shape[0]
-            if n < self.batch_size and pad_to_batch:
-                pad = self.batch_size - n
-                batch = {
-                    "image": np.concatenate(
-                        [batch["image"], np.zeros((pad,) + batch["image"].shape[1:],
-                                                  np.float32)]),
-                    "label": np.concatenate(
-                        [batch["label"], np.zeros((pad,) + batch["label"].shape[1:],
-                                                  np.int32)]),
-                }
-                mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-            else:
-                mask = np.ones(n, bool)
-            batch["pad_mask"] = mask
-            yield batch
+    # NOTE on trailing partial batches: the reference evaluates the true
+    # partial batch (no padding), and the batch-aggregated dice loss is not
+    # decomposable per-sample, so zero-padding would change the numbers.
+    # The tail shape costs ONE extra jit trace, amortized by the persistent
+    # compilation cache.
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +168,8 @@ def get_dataset(name: str, path: str = DEFAULT_ROOT, **kwargs) -> SegmentationDa
 
 def _ensure_registered():
     # import side-effect registration, deferred to avoid import cycles
-    from senas_tpu.data import synthetic, promise12, msd, monusac, png_datasets  # noqa: F401
+    from senas_tpu.data import (generic, monusac, msd, png_datasets,  # noqa: F401
+                                promise12, synthetic)
 
 
 DATASETS = SPECS

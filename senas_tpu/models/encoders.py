@@ -77,11 +77,12 @@ _ENCODERS = {
 }
 
 
-def get_encoder(name: str, depth: int = 5, dtype=None) -> ResNetEncoder:
+def get_encoder(name: str, depth: int = 5, dtype=None,
+                dilate_last: bool = False) -> ResNetEncoder:
     if name not in _ENCODERS:
         raise KeyError(f"unknown encoder {name!r}; available: {sorted(_ENCODERS)}")
     return ResNetEncoder(layers=_ENCODERS[name]["layers"], depth=depth, dtype=dtype,
-                         name="encoder")
+                         dilate_last=dilate_last, name="encoder")
 
 
 def encoder_out_channels(name: str, depth: int = 5) -> Tuple[int, ...]:

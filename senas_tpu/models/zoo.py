@@ -564,6 +564,9 @@ class PAN(nn.Module):
     in_channels: int = 3
     encoder_name: str = "resnet10"
     encoder_depth: int = 5
+    # PAN dilates the last encoder stage by default (pan/model.py:49,
+    # encoder_output_stride=16), so feats[-1] sits at stride 16, not 32.
+    encoder_output_stride: int = 16
     decoder_channels: int = 32
     upsampling: int = 4
     dtype: Optional[Dtype] = None
@@ -571,7 +574,8 @@ class PAN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = get_encoder(self.encoder_name, self.encoder_depth,
-                            self.dtype)(x, train)
+                            self.dtype,
+                            dilate_last=self.encoder_output_stride == 16)(x, train)
         y = FPABlock(self.decoder_channels, dtype=self.dtype)(feats[-1], train)
         y = GAUBlock(self.decoder_channels, dtype=self.dtype,
                      name="gau3")(feats[-2], y, train)

@@ -27,6 +27,8 @@ from senas_tpu.utils.logging import get_logger, make_run_dir, store_images
 
 
 class TestRunner:
+    __test__ = False  # not a pytest class, despite the name
+
     def __init__(self, cfg: Dict[str, Any], model_name: str = "senas",
                  genotype_str: str = "", resume: Optional[str] = None,
                  config_path: Optional[str] = None,
@@ -73,8 +75,13 @@ class TestRunner:
         if not mgr.exists(name):
             self.logger.error("checkpoint %s not found", resume)
             sys.exit(1)
-        restored = mgr.restore(self.state, name)
-        self.state = jax.tree.map(jnp.asarray, restored["state"])
+        # target-free restore: eval must not depend on the training run's
+        # optimizer structure — only params/batch_stats are consumed
+        restored = mgr.restore_raw(name)
+        raw = restored["state"]
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, raw["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, raw.get("batch_stats", {})))
         self.logger.info("loaded checkpoint %s (%s)", resume, name)
 
         loss_cfg = t.get("loss") or {}

@@ -63,18 +63,36 @@ def init_arch_params(rng: jax.Array, meta_node_num: int, depth: int,
     }
 
 
-def _group_softmax(beta: jax.Array, meta_node_num: int) -> jax.Array:
+def _beta_group_start(i: int, mode: str) -> int:
+    """Start index of node i's beta softmax group.
+
+    mode="reference" replicates the reference exactly (senas_search.py
+    :215-220 and :255-259): `offset = len(betas_dn)` there is the length of
+    a list of per-node TENSORS, i.e. the loop index — so the groups are
+    [0:2], [1:4], [2:6], ... — overlapping, and the last raw betas are never
+    read. mode="grouped" is the evident intent (disjoint per-node groups
+    [0:2], [2:5], [5:9], ...). The default preserves reference behavior so
+    identical raw arch params produce identical genotypes.
+    """
+    if mode == "reference":
+        return i
+    if mode == "grouped":
+        return sum(2 + j for j in range(i))
+    raise ValueError(f"unknown beta_mode {mode!r}")
+
+
+def _group_softmax(beta: jax.Array, meta_node_num: int,
+                   beta_mode: str = "reference") -> jax.Array:
     """Per-node-group softmax over edge betas (groups of size 2, 3, 4, ...)."""
     parts = []
-    offset = 0
     for i in range(meta_node_num):
-        size = 2 + i
-        parts.append(jax.nn.softmax(beta[offset:offset + size]))
-        offset += size
+        start = _beta_group_start(i, beta_mode)
+        parts.append(jax.nn.softmax(beta[start:start + 2 + i]))
     return jnp.concatenate(parts, axis=0)
 
 
-def normalize_arch(arch: Dict[str, jax.Array], meta_node_num: int) -> Dict[str, jax.Array]:
+def normalize_arch(arch: Dict[str, jax.Array], meta_node_num: int,
+                   beta_mode: str = "reference") -> Dict[str, jax.Array]:
     """Softmax all architecture parameters (NAS.forward, :248-260)."""
     alphas_dn_nm = jax.nn.softmax(arch["alphas_dn_nm"], axis=-1)
     alphas_up_nm = (
@@ -86,8 +104,8 @@ def normalize_arch(arch: Dict[str, jax.Array], meta_node_num: int) -> Dict[str, 
         "alphas_up_nm": alphas_up_nm,
         "alphas_dn": jax.nn.softmax(arch["alphas_dn"], axis=-1),
         "alphas_up": jax.nn.softmax(arch["alphas_up"], axis=-1),
-        "betas_dn": _group_softmax(arch["betas_dn"], meta_node_num),
-        "betas_up": _group_softmax(arch["betas_up"], meta_node_num),
+        "betas_dn": _group_softmax(arch["betas_dn"], meta_node_num, beta_mode),
+        "betas_up": _group_softmax(arch["betas_up"], meta_node_num, beta_mode),
         "gamma": jax.nn.softmax(arch["gamma"], axis=-1),
     }
 
@@ -227,7 +245,8 @@ def _np_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def derive_genotype(arch: Dict[str, Any], meta_node_num: int, depth: int) -> Genotype:
+def derive_genotype(arch: Dict[str, Any], meta_node_num: int, depth: int,
+                    beta_mode: str = "reference") -> Genotype:
     """Discretize continuous arch params into a Genotype (host-side numpy)."""
     arch = {k: np.asarray(v, dtype=np.float64) for k, v in arch.items()}
     alphas_dn_nm = _np_softmax(arch["alphas_dn_nm"])
@@ -238,12 +257,10 @@ def derive_genotype(arch: Dict[str, Any], meta_node_num: int, depth: int) -> Gen
     alphas_up = _np_softmax(arch["alphas_up"])
 
     betas_dn, betas_up = [], []
-    offset = 0
     for i in range(meta_node_num):
-        size = 2 + i
-        betas_dn.append(_np_softmax(arch["betas_dn"][offset:offset + size], axis=0))
-        betas_up.append(_np_softmax(arch["betas_up"][offset:offset + size], axis=0))
-        offset += size
+        start = _beta_group_start(i, beta_mode)
+        betas_dn.append(_np_softmax(arch["betas_dn"][start:start + 2 + i], axis=0))
+        betas_up.append(_np_softmax(arch["betas_up"][start:start + 2 + i], axis=0))
     betas_dn = np.concatenate(betas_dn)
     betas_up = np.concatenate(betas_up)
 

@@ -51,15 +51,18 @@ class FixedTrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    rng: jax.Array  # dropout rng chain, split per step
 
     @classmethod
-    def create(cls, variables: Dict[str, Any], tx: optax.GradientTransformation):
+    def create(cls, variables: Dict[str, Any], tx: optax.GradientTransformation,
+               rng: Optional[jax.Array] = None):
         params = variables["params"]
         return cls(
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
             step=jnp.zeros([], jnp.int32),
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
         )
 
 
@@ -73,10 +76,13 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
     """
 
     def step(state: FixedTrainState, batch):
+        next_rng, dropout_rng = jax.random.split(state.rng)
+
         def loss_and_aux(params):
             outputs, mutated = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], True, mutable=["batch_stats"])
+                batch["image"], True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
             loss = loss_fn(outputs, batch["label"])
             return loss, (outputs, mutated["batch_stats"])
 
@@ -96,7 +102,8 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable,
             "acc": mean_pix_accuracy(last, batch["label"]),
         }
         new_state = state.replace(params=new_params, batch_stats=new_stats,
-                                  opt_state=new_opt, step=state.step + 1)
+                                  opt_state=new_opt, step=state.step + 1,
+                                  rng=next_rng)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -131,9 +138,10 @@ class SearchTrainState(struct.PyTreeNode):
     w_opt_state: Any
     a_opt_state: Any
     step: jax.Array
+    rng: jax.Array  # dropout rng chain, split per step
 
     @classmethod
-    def create(cls, variables, arch, w_tx, a_tx):
+    def create(cls, variables, arch, w_tx, a_tx, rng: Optional[jax.Array] = None):
         return cls(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
@@ -141,6 +149,7 @@ class SearchTrainState(struct.PyTreeNode):
             w_opt_state=w_tx.init(variables["params"]),
             a_opt_state=a_tx.init(arch),
             step=jnp.zeros([], jnp.int32),
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
         )
 
 
@@ -157,21 +166,24 @@ def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callab
       2. weight update on the train batch with the UPDATED arch params.
     """
 
-    def forward_loss(params, batch_stats, arch, batch):
+    def forward_loss(params, batch_stats, arch, batch, dropout_rng):
         aw = normalize_fn(arch)
         outputs, mutated = apply_fn(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], aw, True, mutable=["batch_stats"])
+            batch["image"], aw, True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng})
         return loss_fn(outputs, batch["label"]), (outputs, mutated["batch_stats"])
 
     def step(state: SearchTrainState, train_batch, val_batch, do_arch: bool):
         arch = state.arch
         a_opt_state = state.a_opt_state
         batch_stats = state.batch_stats
+        next_rng, a_rng, w_rng = jax.random.split(state.rng, 3)
 
         if do_arch:
             (a_loss, (_, batch_stats)), a_grads = jax.value_and_grad(
-                lambda a: forward_loss(state.params, state.batch_stats, a, val_batch),
+                lambda a: forward_loss(state.params, state.batch_stats, a,
+                                       val_batch, a_rng),
                 has_aux=True)(arch)
             a_updates, a_opt_state = a_tx.update(a_grads, a_opt_state, arch)
             arch = optax.apply_updates(arch, a_updates)
@@ -179,7 +191,7 @@ def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callab
             a_loss = jnp.zeros([], jnp.float32)
 
         (w_loss, (outputs, batch_stats)), w_grads = jax.value_and_grad(
-            lambda p: forward_loss(p, batch_stats, arch, train_batch),
+            lambda p: forward_loss(p, batch_stats, arch, train_batch, w_rng),
             has_aux=True)(state.params)
         if grad_clip and grad_clip > 0:
             w_grads, gnorm = clip_by_global_norm(w_grads, grad_clip)
@@ -197,7 +209,8 @@ def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callab
         }
         new_state = SearchTrainState(
             params=params, batch_stats=batch_stats, arch=arch,
-            w_opt_state=w_opt_state, a_opt_state=a_opt_state, step=state.step + 1)
+            w_opt_state=w_opt_state, a_opt_state=a_opt_state,
+            step=state.step + 1, rng=next_rng)
         return new_state, metrics
 
     return jax.jit(step, static_argnums=(3,), donate_argnums=(0,) if donate else ())

@@ -4,13 +4,18 @@ JAX fake-backend trick; see SURVEY.md §4)."""
 
 import os
 
-# Must run before jax is imported anywhere. Force (not setdefault): the
-# machine profile sets JAX_PLATFORMS=axon (the TPU tunnel) and tests must
-# never compete for the single TPU chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force the CPU backend. The env var alone is NOT enough on this machine:
+# a sitecustomize hook registers the axon TPU plugin in every interpreter
+# and overwrites jax_platforms to "axon,cpu" — so tests would silently
+# compete for the single TPU chip (the round-1 "hangs"). The config update
+# below takes final precedence; it must happen before any backend init.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the supernet graphs are large; caching makes
 # repeat test runs near-instant.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")

@@ -1,0 +1,68 @@
+"""End-to-end CLI runs on the synthetic dataset: train -> artifacts ->
+loss drop -> checkpoint -> eval restore. (VERDICT r1 item 5.)"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from senas_tpu.core.config import load_config
+from senas_tpu.runner.test import TestRunner
+from senas_tpu.runner.train import TrainRunner
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "senas",
+                   "senas_synthetic.yml")
+
+
+@pytest.fixture(scope="module")
+def train_run(tmp_path_factory):
+    log_root = str(tmp_path_factory.mktemp("logs"))
+    cfg = load_config(CFG)
+    cfg["training"]["epoch"] = 2
+    cfg["training"]["depth"] = 2
+    cfg["training"]["init_channels"] = 8
+    cfg["data"]["hw"] = 32
+    cfg["data"]["size"] = 16
+    runner = TrainRunner(cfg, model_name="senas", config_path=CFG,
+                         log_root=log_root)
+    result = runner.run()
+    return cfg, runner.run_dir, result
+
+
+def test_train_cli_artifacts_and_loss_drop(train_run):
+    _, run_dir, result = train_run
+    assert os.path.isfile(os.path.join(run_dir, "run.log"))
+    scalars = [json.loads(l) for l in open(os.path.join(run_dir, "scalars.jsonl"))]
+    losses = [s["value"] for s in scalars if s["tag"] == "Train/Loss"]
+    assert len(losses) == 2
+    assert losses[-1] < losses[0], f"no loss drop: {losses}"
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "last"))
+    assert os.path.isfile(os.path.join(run_dir, "ckpt", "last.meta.json"))
+    assert result["best_dice"] > 0
+
+
+def test_eval_cli_restores_checkpoint(train_run, tmp_path):
+    cfg, run_dir, result = train_run
+    tester = TestRunner(cfg, model_name="senas",
+                        resume=os.path.join(run_dir, "ckpt"),
+                        config_path=CFG, log_root=str(tmp_path),
+                        batch_size=4)
+    out = tester.run(save_images=True)
+    assert np.isfinite(out["loss"])
+    # best checkpoint eval reproduces the training-time best dice
+    assert out["dice"] == pytest.approx(result["best_dice"], abs=1e-6)
+    pngs = glob.glob(os.path.join(tester.image_dir, "*.png"))
+    assert pngs, "no mask/grid PNGs written"
+
+
+def test_resume_continues_from_checkpoint(train_run, tmp_path):
+    cfg, run_dir, _ = train_run
+    cfg2 = json.loads(json.dumps(cfg))  # deep copy
+    cfg2["training"]["epoch"] = 3
+    cfg2["training"]["resume"] = os.path.join(run_dir, "ckpt")
+    runner = TrainRunner(cfg2, model_name="senas", config_path=CFG,
+                         log_root=str(tmp_path))
+    assert runner.start_epoch == 2, "resume did not restore the epoch counter"
+    runner.run()  # one more epoch from the restored state

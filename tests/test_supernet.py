@@ -17,16 +17,21 @@ from senas_tpu.train.loss import build_loss
 from senas_tpu.train.optim import build_optimizer
 from senas_tpu.train.trainer import SearchTrainState, make_search_step
 
-DEPTH, META, C, HW = 4, 3, 8, 32
+# Arch-param tests (pure numpy) use the real search scale; the compiled
+# supernet fixture uses the smallest structurally-complete config — XLA:CPU
+# compile time on this 1-core host is the budget, and the tests check
+# structure, not scale.
+DEPTH, META = 4, 3
+SDEPTH, SMETA, C, HW = 3, 2, 8, 16
 
 
 @pytest.fixture(scope="module")
 def supernet():
-    model = SenasSearch(in_channels=1, c=C, nclass=2, depth=DEPTH,
-                        meta_node_num=META, double_down_channel=False)
-    arch = init_arch_params(jax.random.PRNGKey(1), META, DEPTH, use_sharing=False)
+    model = SenasSearch(in_channels=1, c=C, nclass=2, depth=SDEPTH,
+                        meta_node_num=SMETA, double_down_channel=False)
+    arch = init_arch_params(jax.random.PRNGKey(1), SMETA, SDEPTH, use_sharing=False)
     x = jnp.ones((2, HW, HW, 1))
-    aw = normalize_arch(arch, META)
+    aw = normalize_arch(arch, SMETA)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, aw, False)
     return model, variables, arch, x
 
@@ -63,7 +68,7 @@ class TestArchParams:
 class TestSupernetForward:
     def test_forward_shape(self, supernet):
         model, variables, arch, x = supernet
-        aw = normalize_arch(arch, META)
+        aw = normalize_arch(arch, SMETA)
         outs = model.apply(variables, x, aw, False)
         assert len(outs) == 1 and outs[0].shape == (2, HW, HW, 2)
 
@@ -73,7 +78,7 @@ class TestSupernetForward:
         loss_fn = build_loss("dice_ce")
 
         def loss(a):
-            aw = normalize_arch(a, META)
+            aw = normalize_arch(a, SMETA)
             outs, _ = model.apply(variables, x, aw, True, mutable=["batch_stats"])
             return loss_fn(outs, target)
 
@@ -88,13 +93,13 @@ class TestSupernetForward:
 class TestDiscretization:
     def test_derive_genotype_valid(self, supernet):
         _, _, arch, _ = supernet
-        g = derive_genotype(arch, META, DEPTH)
+        g = derive_genotype(arch, SMETA, SDEPTH)
         assert isinstance(g, Genotype)
-        assert len(g.down) == 2 * META and len(g.up) == 2 * META
-        assert list(g.down_concat) == [2, 3, 4]
-        assert len(g.gamma) == sum(range(DEPTH - 1))
+        assert len(g.down) == 2 * SMETA and len(g.up) == 2 * SMETA
+        assert list(g.down_concat) == [2, 3]
+        assert len(g.gamma) == sum(range(SDEPTH - 1))
         # gamma path-contiguity: within each row once 1 appears, rest are 1
-        rows = [g.gamma[sum(range(i)): sum(range(i)) + i] for i in range(1, DEPTH - 1)]
+        rows = [g.gamma[sum(range(i)): sum(range(i)) + i] for i in range(1, SDEPTH - 1)]
         for row in rows:
             if 1 in row:
                 first = row.index(1)
@@ -102,8 +107,8 @@ class TestDiscretization:
 
     def test_derived_genotype_builds_model(self, supernet):
         _, _, arch, _ = supernet
-        g = derive_genotype(arch, META, DEPTH)
-        model = SenasModel(nclass=2, in_channels=1, c=C, depth=DEPTH, genotype=g)
+        g = derive_genotype(arch, SMETA, SDEPTH)
+        model = SenasModel(nclass=2, in_channels=1, c=C, depth=SDEPTH, genotype=g)
         x = jnp.ones((1, HW, HW, 1))
         variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
         outs = model.apply(variables, x, False)
@@ -111,9 +116,9 @@ class TestDiscretization:
 
     def test_genotype_stable_under_tiny_perturbation(self, supernet):
         _, _, arch, _ = supernet
-        g1 = derive_genotype(arch, META, DEPTH)
+        g1 = derive_genotype(arch, SMETA, SDEPTH)
         arch2 = {k: v + 1e-9 for k, v in arch.items()}
-        g2 = derive_genotype(arch2, META, DEPTH)
+        g2 = derive_genotype(arch2, SMETA, SDEPTH)
         assert g1.down == g2.down and g1.up == g2.up and g1.gamma == g2.gamma
 
 
@@ -125,7 +130,7 @@ class TestBilevelStep:
                                 "weight_decay": 3e-4})
         a_tx = build_optimizer({"name": "adam", "lr": 1e-3, "weight_decay": 1e-3,
                                 "betas": (0.5, 0.999)})
-        normalize = lambda a: normalize_arch(a, META)
+        normalize = lambda a: normalize_arch(a, SMETA)
         step = make_search_step(model.apply, normalize, loss_fn, w_tx, a_tx,
                                 grad_clip=5.0, donate=False)
         state = SearchTrainState.create(variables, arch, w_tx, a_tx)

@@ -78,11 +78,27 @@ _ENCODERS = {
 
 
 def get_encoder(name: str, depth: int = 5, dtype=None,
-                dilate_last: bool = False) -> ResNetEncoder:
-    if name not in _ENCODERS:
-        raise KeyError(f"unknown encoder {name!r}; available: {sorted(_ENCODERS)}")
-    return ResNetEncoder(layers=_ENCODERS[name]["layers"], depth=depth, dtype=dtype,
-                         dilate_last=dilate_last, name="encoder")
+                dilate_last: bool = False) -> nn.Module:
+    if name in _ENCODERS:
+        return ResNetEncoder(layers=_ENCODERS[name]["layers"], depth=depth,
+                             dtype=dtype, dilate_last=dilate_last,
+                             name="encoder")
+    from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
+    if name in EXTRA_ENCODERS:
+        if dilate_last:
+            raise ValueError(f"{name!r} does not support dilated mode")
+        entry = EXTRA_ENCODERS[name]
+        return entry["cls"](depth=depth, dtype=dtype, name="encoder",
+                            **entry["kw"])
+    if any(name.startswith(f) for f in GATED_FAMILIES):
+        raise KeyError(
+            f"encoder family of {name!r} wraps third-party pretrained "
+            "packages (timm/pretrainedmodels/efficientnet_pytorch) that are "
+            "not available in this environment; see "
+            "senas_tpu/models/encoders_extra.py GATED_FAMILIES")
+    from senas_tpu.models.encoders_extra import EXTRA_ENCODERS as _E
+    raise KeyError(f"unknown encoder {name!r}; available: "
+                   f"{sorted(_ENCODERS) + sorted(_E)}")
 
 
 def encoder_out_channels(name: str, depth: int = 5) -> Tuple[int, ...]:

@@ -1,0 +1,252 @@
+"""Additional encoder families for the baseline zoo: VGG, DenseNet,
+MobileNetV2 (NHWC Flax).
+
+Parity targets: segmentation_models_pytorch/encoders/{vgg,densenet,
+mobilenet}.py — same stage boundaries and per-stage channel contract
+(feature pyramid at strides 1,2,4,8,16,32), so every zoo decoder works
+unchanged on top. The remaining reference families (dpn, senet,
+inception*, xception, efficientnet and the timm-* set) wrap third-party
+pretrained packages (timm/pretrainedmodels/efficientnet_pytorch) that are
+not baked into this image; they raise a clear error from get_encoder with
+that explanation rather than shipping silent stand-ins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from senas_tpu.ops.primitives import (avg_pool_3x3, build_norm, conv2d,
+                                      kaiming_normal, max_pool_3x3, relu)
+from jax import lax
+
+Dtype = Any
+
+# VGG configs (vgg.py:34-39): numbers are conv widths, "M" is a 2x2 maxpool
+_VGG_CFG = {
+    "A": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "B": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+          512, 512, "M"],
+    "D": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+          512, 512, 512, "M"],
+    "E": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+          512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+def _max_pool_2x2(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
+                             (1, 2, 2, 1), ((0, 0), (0, 0), (0, 0), (0, 0)))
+
+
+class VGGEncoder(nn.Module):
+    """VGG feature pyramid: a stage ends right before each maxpool, the
+    final stage is the last pool alone (vgg.py:44-69 get_stages).
+    out_channels: (64, 128, 256, 512, 512, 512)."""
+
+    config: Tuple  # mix of ints and "M"
+    batch_norm: bool = False
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        features = []
+        stage = 0
+        conv_i = 0
+        for item in self.config:
+            if item == "M":
+                features.append(x)
+                stage += 1
+                if stage > self.depth:
+                    break
+                x = _max_pool_2x2(x)
+            else:
+                w = self.param(f"conv{conv_i}", kaiming_normal,
+                               (3, 3, x.shape[-1], item), jnp.float32)
+                b = self.param(f"bias{conv_i}", nn.initializers.zeros,
+                               (item,), jnp.float32)
+                x = conv2d(x.astype(self.dtype or x.dtype),
+                           w.astype(self.dtype or x.dtype)) + b.astype(
+                    self.dtype or x.dtype)
+                if self.batch_norm:
+                    x = build_norm(self.dtype, name=f"bn{conv_i}")(
+                        x, use_running_average=not train)
+                x = relu(x)
+                conv_i += 1
+        if stage <= self.depth:  # trailing stage: the final maxpool
+            features.append(_max_pool_2x2(features[-1]))
+        return features[: self.depth + 1]
+
+
+class _DenseLayer(nn.Module):
+    growth: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = build_norm(self.dtype, name="norm1")(x, use_running_average=not train)
+        y = relu(y)
+        w1 = self.param("conv1", kaiming_normal,
+                        (1, 1, y.shape[-1], 4 * self.growth), jnp.float32)
+        y = conv2d(y, w1.astype(y.dtype))
+        y = build_norm(self.dtype, name="norm2")(y, use_running_average=not train)
+        y = relu(y)
+        w2 = self.param("conv2", kaiming_normal,
+                        (3, 3, 4 * self.growth, self.growth), jnp.float32)
+        y = conv2d(y, w2.astype(y.dtype))
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseNetEncoder(nn.Module):
+    """DenseNet feature pyramid (densenet.py stage contract):
+    f0 = x, f1 = stem conv (stride 2), then each dense block's output taken
+    BEFORE its transition's pooling, final block after the last norm."""
+
+    growth: int = 32
+    init_channels: int = 64
+    block_layers: Sequence[int] = (6, 12, 24, 16)
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        features = [x]
+        if self.depth == 0:
+            return features
+        w = self.param("conv0", kaiming_normal,
+                       (7, 7, x.shape[-1], self.init_channels), jnp.float32)
+        x = conv2d(x.astype(self.dtype or x.dtype),
+                   w.astype(self.dtype or x.dtype), stride=2)
+        x = build_norm(self.dtype, name="norm0")(x, use_running_average=not train)
+        x = relu(x)
+        features.append(x)
+
+        x = max_pool_3x3(x, stride=2)
+        for bi, n_layers in enumerate(self.block_layers):
+            if len(features) > self.depth:
+                break
+            for li in range(n_layers):
+                x = _DenseLayer(self.growth, dtype=self.dtype,
+                                name=f"block{bi}_layer{li}")(x, train)
+            last = bi == len(self.block_layers) - 1
+            x = build_norm(self.dtype, name=f"trans{bi}_norm")(
+                x, use_running_average=not train)
+            x = relu(x)
+            features.append(x)  # block output, pre-transition-pool
+            if not last:
+                wt = self.param(f"trans{bi}_conv", kaiming_normal,
+                                (1, 1, x.shape[-1], x.shape[-1] // 2),
+                                jnp.float32)
+                x = conv2d(x, wt.astype(x.dtype))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return features[: self.depth + 1]
+
+
+class _InvertedResidual(nn.Module):
+    c_out: int
+    stride: int
+    expand: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        hidden = c_in * self.expand
+        y = x
+        if self.expand != 1:
+            w = self.param("expand_conv", kaiming_normal,
+                           (1, 1, c_in, hidden), jnp.float32)
+            y = conv2d(y, w.astype(y.dtype))
+            y = build_norm(self.dtype, name="expand_bn")(
+                y, use_running_average=not train)
+            y = nn.relu6(y)
+        wd = self.param("dw_conv", kaiming_normal, (3, 3, 1, hidden),
+                        jnp.float32)
+        y = conv2d(y, wd.astype(y.dtype), stride=self.stride, groups=hidden)
+        y = build_norm(self.dtype, name="dw_bn")(y, use_running_average=not train)
+        y = nn.relu6(y)
+        wp = self.param("project_conv", kaiming_normal,
+                        (1, 1, hidden, self.c_out), jnp.float32)
+        y = conv2d(y, wp.astype(y.dtype))
+        y = build_norm(self.dtype, name="project_bn")(
+            y, use_running_average=not train)
+        if self.stride == 1 and c_in == self.c_out:
+            y = x + y
+        return y
+
+
+# MobileNetV2 inverted-residual plan: (expand, channels, repeats, stride)
+_MBV2_PLAN = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+              (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+# smp stage boundaries: features at (3, 16, 24, 32, 96, 1280)
+_MBV2_STAGE_AFTER = {0: 1, 1: 2, 2: 3, 4: 4}  # plan index -> pyramid level
+
+
+class MobileNetV2Encoder(nn.Module):
+    """MobileNetV2 feature pyramid (mobilenet.py stage contract):
+    out_channels (3, 16, 24, 32, 96, 1280)."""
+
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        features = [x]
+        if self.depth == 0:
+            return features
+        w = self.param("stem_conv", kaiming_normal, (3, 3, x.shape[-1], 32),
+                       jnp.float32)
+        x = conv2d(x.astype(self.dtype or x.dtype),
+                   w.astype(self.dtype or x.dtype), stride=2)
+        x = build_norm(self.dtype, name="stem_bn")(x, use_running_average=not train)
+        x = nn.relu6(x)
+        for pi, (t, c, n, s) in enumerate(_MBV2_PLAN):
+            for r in range(n):
+                x = _InvertedResidual(c, s if r == 0 else 1, t,
+                                      dtype=self.dtype,
+                                      name=f"block{pi}_{r}")(x, train)
+            if pi in _MBV2_STAGE_AFTER:
+                features.append(x)
+                if len(features) > self.depth:
+                    return features[: self.depth + 1]
+        wl = self.param("last_conv", kaiming_normal, (1, 1, x.shape[-1], 1280),
+                        jnp.float32)
+        x = conv2d(x, wl.astype(x.dtype))
+        x = build_norm(self.dtype, name="last_bn")(x, use_running_average=not train)
+        x = nn.relu6(x)
+        features.append(x)
+        return features[: self.depth + 1]
+
+
+EXTRA_ENCODERS = {
+    "vgg11": dict(cls=VGGEncoder, kw=dict(config=tuple(_VGG_CFG["A"]))),
+    "vgg11_bn": dict(cls=VGGEncoder,
+                     kw=dict(config=tuple(_VGG_CFG["A"]), batch_norm=True)),
+    "vgg13": dict(cls=VGGEncoder, kw=dict(config=tuple(_VGG_CFG["B"]))),
+    "vgg13_bn": dict(cls=VGGEncoder,
+                     kw=dict(config=tuple(_VGG_CFG["B"]), batch_norm=True)),
+    "vgg16": dict(cls=VGGEncoder, kw=dict(config=tuple(_VGG_CFG["D"]))),
+    "vgg16_bn": dict(cls=VGGEncoder,
+                     kw=dict(config=tuple(_VGG_CFG["D"]), batch_norm=True)),
+    "vgg19": dict(cls=VGGEncoder, kw=dict(config=tuple(_VGG_CFG["E"]))),
+    "vgg19_bn": dict(cls=VGGEncoder,
+                     kw=dict(config=tuple(_VGG_CFG["E"]), batch_norm=True)),
+    "densenet121": dict(cls=DenseNetEncoder,
+                        kw=dict(block_layers=(6, 12, 24, 16))),
+    "densenet169": dict(cls=DenseNetEncoder,
+                        kw=dict(block_layers=(6, 12, 32, 32))),
+    "densenet201": dict(cls=DenseNetEncoder,
+                        kw=dict(block_layers=(6, 12, 48, 32))),
+    "densenet161": dict(cls=DenseNetEncoder,
+                        kw=dict(block_layers=(6, 12, 36, 24), growth=48,
+                                init_channels=96)),
+    "mobilenet_v2": dict(cls=MobileNetV2Encoder, kw=dict()),
+}
+
+# families whose reference implementations wrap packages not in this image
+GATED_FAMILIES = ("dpn", "senet", "se_resnet", "se_resnext",
+                  "inceptionresnetv2", "inceptionv4", "efficientnet",
+                  "xception", "timm-", "tu-")

@@ -199,6 +199,8 @@ class _ConvWeight(nn.Module):
                 x, self.dropout, deterministic=not train,
                 rng=self.make_rng("dropout") if train else None,
             )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)  # bf16 compute: params stay f32 masters
         c_in = x.shape[-1]
         w = self.param(
             "kernel",
@@ -339,6 +341,8 @@ class AdapterBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.mode == "none":
             out = jnp.zeros_like(x)
         elif self.mode == "identity":
@@ -370,6 +374,8 @@ class RectifyResample(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         out = relu(x)
         c_in = x.shape[-1]
         if self.cell_type == "up":
@@ -396,6 +402,8 @@ class ShrinkBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         out = relu(x)
         w = self.param("kernel", kaiming_normal, (3, 3, x.shape[-1], self.c_out), jnp.float32)
         out = conv2d(out, w.astype(out.dtype))
@@ -411,6 +419,8 @@ class RectifyBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         w = self.param("kernel", kaiming_normal, (3, 3, x.shape[-1], self.c_out), jnp.float32)
         out = conv2d(x, w.astype(x.dtype))
         return build_norm(self.dtype)(out, use_running_average=not train)
@@ -427,6 +437,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         residual = x
         w1 = self.param("conv1", kaiming_normal,
                         (3, 3, x.shape[-1], self.planes), jnp.float32)

@@ -31,7 +31,7 @@ from senas_tpu.train.optim import (build_optimizer, build_scheduler,
 from senas_tpu.train.trainer import (SearchTrainState, make_search_eval_step,
                                      make_search_step)
 from senas_tpu.utils.logging import ScalarWriter, calc_time, get_logger, make_run_dir
-from senas_tpu.utils.misc import calc_parameters_count, set_seed
+from senas_tpu.utils.misc import StepTimer, calc_parameters_count, set_seed
 
 
 class SearchRunner:
@@ -163,6 +163,7 @@ class SearchRunner:
             # ---- train epoch (bilevel) ----
             train_metric = SegmentationMetric(self.n_classes)
             loss_meter = AverageMeter()
+            timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
             do_arch = epoch >= alpha_begin
             val_iter = iter(self.valid_queue)
             for step, batch in enumerate(self.train_queue):
@@ -171,9 +172,10 @@ class SearchRunner:
                 except StopIteration:
                     val_iter = iter(self.valid_queue)
                     val_batch = next(val_iter)
-                self.state, m = self.search_step(
-                    self.state, to_device_batch(batch), to_device_batch(val_batch),
-                    do_arch)
+                with timer:
+                    self.state, m = self.search_step(
+                        self.state, to_device_batch(batch),
+                        to_device_batch(val_batch), do_arch)
                 loss_meter.update(float(m["loss"]))
                 train_metric.update_counts(np.asarray(m["tp"]), np.asarray(m["fp"]),
                                            np.asarray(m["fn"]), float(m["acc"]))
@@ -184,6 +186,8 @@ class SearchRunner:
             _, _, train_dice = train_metric.get()
             self.writer.add_scalar("Train/Loss", loss_meter.avg, epoch)
             self.writer.add_scalar("Train/dice", train_dice, epoch)
+            self.writer.add_scalar("Train/steps_per_sec", timer.steps_per_sec,
+                                   epoch)
 
             # ---- eval epoch ----
             metric, vloss = run_eval_loop(self.eval_step, self.valid_queue,

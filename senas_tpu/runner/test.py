@@ -116,3 +116,32 @@ class TestRunner:
                          loss_meter.avg, pixacc, miou, dice)
         return {"loss": loss_meter.avg, "pixAcc": pixacc, "mIoU": miou,
                 "dice": dice}
+
+    def run_promise12_submission(self, case_dir: str,
+                                 dest: Optional[str] = None,
+                                 queue: Optional[DataLoader] = None):
+        """PROMISE12 challenge path (train_model.py:355-381 test() +
+        store_test_seg.py): run inference over the (test) queue in case
+        order, stitch the slice masks back into volumes with original
+        origin/direction/spacing, and write <case>_segmentation.mhd files.
+        Returns (written_paths, volumetric_summary_or_None)."""
+        from senas_tpu.challenge import predict_test, volumetric_metrics
+
+        queue = queue or self.valid_queue
+        slices = []
+        for batch in queue:
+            out = self._eval(self.state.params, self.state.batch_stats,
+                             to_device_batch(batch))
+            preds = np.asarray(out["pred"])
+            slices.extend(preds[i] for i in range(preds.shape[0]))
+        dest = dest or os.path.join(self.run_dir, "predictions")
+        case_paths = sorted(
+            os.path.join(case_dir, f) for f in os.listdir(case_dir)
+            if f.endswith(".mhd") and "segm" not in f.lower())
+        written = predict_test(slices, case_paths, dest=dest)
+        summary = None
+        has_gt = any("segm" in f.lower() for f in os.listdir(case_dir))
+        if has_gt:
+            summary = volumetric_metrics(slices, case_dir, logger=self.logger)
+        self.logger.info("submission: %d volumes -> %s", len(written), dest)
+        return written, summary

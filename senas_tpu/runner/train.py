@@ -33,7 +33,7 @@ from senas_tpu.train.trainer import (FixedTrainState, make_eval_step,
                                      make_train_step)
 from senas_tpu.utils.logging import (ScalarWriter, calc_time, get_logger,
                                      make_run_dir, store_images)
-from senas_tpu.utils.misc import calc_parameters_count, set_seed
+from senas_tpu.utils.misc import StepTimer, calc_parameters_count, set_seed
 
 
 def resolve_genotype(cfg: Dict[str, Any], cli_genotype: str = ""):
@@ -146,8 +146,11 @@ class TrainRunner:
 
             metric = SegmentationMetric(self.n_classes)
             loss_meter = AverageMeter()
+            timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
             for step, batch in enumerate(self.train_queue):
-                self.state, m = self.train_step(self.state, to_device_batch(batch))
+                with timer:
+                    self.state, m = self.train_step(self.state,
+                                                    to_device_batch(batch))
                 loss_meter.update(float(m["loss"]))
                 metric.update_counts(np.asarray(m["tp"]), np.asarray(m["fp"]),
                                      np.asarray(m["fn"]), float(m["acc"]))
@@ -158,6 +161,8 @@ class TrainRunner:
             _, _, train_dice = metric.get()
             self.writer.add_scalar("Train/Loss", loss_meter.avg, epoch)
             self.writer.add_scalar("Train/dice", train_dice, epoch)
+            self.writer.add_scalar("Train/steps_per_sec", timer.steps_per_sec,
+                                   epoch)
 
             # ---- validation ----
             vmetric, vloss = run_eval_loop(self.eval_step, self.valid_queue,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -71,6 +71,53 @@ def create_class_weight(labels_dict: Dict[int, float], mu: float = 0.15) -> List
         score = math.log(mu * total / float(labels_dict[key]))
         weights.append(score if score > 1.0 else 1.0)
     return weights
+
+
+class StepTimer:
+    """Wall-clock step timing with jax.profiler trace capture.
+
+    Replaces the reference's ad-hoc dur_time bookkeeping
+    (utils/utils.py:106-110) with device-accurate step stats and an
+    optional XLA trace: set trace_dir (or SENAS_TRACE_DIR) to capture a
+    TensorBoard-compatible profile of steps [trace_start, trace_start+
+    trace_steps) — view with `tensorboard --logdir <dir>`.
+    """
+
+    def __init__(self, trace_dir: Optional[str] = None, trace_start: int = 5,
+                 trace_steps: int = 3):
+        import os
+        self.trace_dir = trace_dir or os.environ.get("SENAS_TRACE_DIR")
+        self.trace_start = trace_start
+        self.trace_steps = trace_steps
+        self._step = 0
+        self._t0 = None
+        self._times: List[float] = []
+        self._tracing = False
+
+    def __enter__(self):
+        import time
+        if (self.trace_dir and self._step == self.trace_start
+                and not self._tracing):
+            jax.profiler.start_trace(self.trace_dir)
+            self._tracing = True
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+        self._times.append(time.perf_counter() - self._t0)
+        self._step += 1
+        if self._tracing and self._step >= self.trace_start + self.trace_steps:
+            jax.profiler.stop_trace()
+            self._tracing = False
+        return False
+
+    @property
+    def steps_per_sec(self) -> float:
+        if not self._times:
+            return 0.0
+        recent = self._times[max(1, len(self._times) // 2):] or self._times
+        return 1.0 / (sum(recent) / len(recent))
 
 
 def flops_params_info(apply_fn, variables, example_input) -> Dict[str, float]:

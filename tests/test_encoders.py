@@ -1,0 +1,50 @@
+"""Encoder families: feature-pyramid contract (depth+1 maps at strides
+1,2,4,...,2^depth with the smp per-stage channel plan)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from senas_tpu.models.encoders import get_encoder
+
+# smp channel contracts (encoders/{resnet,vgg,densenet,mobilenet}.py)
+CONTRACTS = {
+    "resnet10": (3, 64, 64, 128, 256, 512),
+    "resnet18": (3, 64, 64, 128, 256, 512),
+    "vgg11": (64, 128, 256, 512, 512, 512),
+    "vgg16_bn": (64, 128, 256, 512, 512, 512),
+    "densenet121": (3, 64, 256, 512, 1024, 1024),
+    "mobilenet_v2": (3, 16, 24, 32, 96, 1280),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONTRACTS))
+def test_encoder_pyramid(name):
+    depth = 5
+    hw = 64
+    enc = get_encoder(name, depth=depth)
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == depth + 1
+    expected_c = CONTRACTS[name]
+    for level, f in enumerate(feats):
+        assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == expected_c[level], (name, level, f.shape)
+
+
+def test_unet_runs_on_extra_encoder():
+    from senas_tpu.models.zoo import Unet
+    model = Unet(classes=2, in_channels=1, encoder_name="mobilenet_v2",
+                 encoder_depth=4, decoder_channels=(64, 32, 16, 8))
+    x = jnp.ones((1, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    outs = model.apply(variables, x, False)
+    assert outs[0].shape == (1, 32, 32, 2)
+
+
+def test_gated_families_raise():
+    with pytest.raises(KeyError, match="third-party"):
+        get_encoder("timm-regnetx_002")
+    with pytest.raises(KeyError, match="third-party"):
+        get_encoder("efficientnet-b0")

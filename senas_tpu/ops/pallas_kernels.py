@@ -3,11 +3,13 @@
 Target: the NORM-cell conv group of `GroupedMixedOp`
 (search/fused_cell.py): three sibling conv branches (3x3 d1, 5x5 d2,
 5x5 d3) that all read the SAME input tensor. XLA compiles them as three
-separate convolutions — three HBM reads of x and three intermediate
-writes. This kernel computes all three in one pass: each program DMAs one
-halo'd row slab (halo = 6 rows, the 5x5 d3 reach) from HBM into VMEM once
-and every branch accumulates tap-by-tap matmuls ([rows*W, C] x [C, N])
-against its kernel slices, emitting one concatenated [B, H, W, 3N] output.
+separate convolutions — three full HBM reads of x, one per branch. This
+kernel computes all three branches per input read: each program sees a
+halo'd row window (via three adjacent block views of the row-padded
+input — the TPU toolchain here rejects manual HBM DMA, so the halo is
+expressed purely with blocked index maps) and accumulates tap-by-tap
+matmuls ([rows*W, C] x [C, N]) against each branch's kernel slices,
+emitting one concatenated [B, H, W, 3N] output.
 
 Reference hot loop being accelerated: /root/reference/search/cell.py:32-36
 (the per-edge candidate-op sum). Equivalence to the XLA path is pinned by
@@ -32,38 +34,31 @@ _HALO = 6
 _BRANCHES = ((3, 1), (5, 2), (5, 3))  # (kernel, dilation), N-concat order
 
 
-def _norm_convs_kernel(x_hbm, k3_ref, k52_ref, k53_ref, out_ref,
-                       xtile, sem, *, tile_h: int, width: int, c_in: int,
+def _norm_convs_kernel(top_ref, mid_ref, bot_ref, k3_ref, k52_ref, k53_ref,
+                       out_ref, *, tile_h: int, width: int, c_in: int,
                        n_out: int):
-    """One (batch, row-tile) program. x_hbm holds the pre-padded input
-    [B, H + 12, W + 12, C]; the program DMAs its halo'd slab
-    [tile_h + 12, W + 12, C] into VMEM scratch and computes all branches."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * tile_h, tile_h + 2 * _HALO)], xtile, sem)
-    copy.start()
-    copy.wait()
-    x = xtile[...]  # [tile_h + 12, W + 12, C]
+    """One (batch, row-tile) program. top/mid/bot are three adjacent
+    tile_h-row views of the padded input; together they cover the output
+    rows plus the +-_HALO reach."""
+    x = jnp.concatenate([top_ref[0], mid_ref[0], bot_ref[0]], axis=0)
+    # output rows live at [tile_h, 2*tile_h) of this 3*tile_h window
 
-    def branch(kref, k, dilation, slot):
+    outs = []
+    for (k, dilation), kref in zip(_BRANCHES, (k3_ref, k52_ref, k53_ref)):
         acc = jnp.zeros((tile_h * width, n_out), jnp.float32)
         pad = (k // 2) * dilation
         # static tap loop: k*k multiply-accumulate matmuls on the MXU
         for dy in range(k):
             for dx in range(k):
-                oy = _HALO - pad + dy * dilation
+                oy = tile_h - pad + dy * dilation
                 ox = _HALO - pad + dx * dilation
                 window = x[oy:oy + tile_h, ox:ox + width, :]
                 taps = window.reshape(tile_h * width, c_in)
                 acc = acc + jnp.dot(taps, kref[dy, dx],
                                     preferred_element_type=jnp.float32)
-        out_ref[0, :, :, slot * n_out:(slot + 1) * n_out] = (
-            acc.reshape(tile_h, width, n_out).astype(out_ref.dtype))
-
-    branch(k3_ref, 3, 1, 0)
-    branch(k52_ref, 5, 2, 1)
-    branch(k53_ref, 5, 3, 2)
+        outs.append(acc)
+    merged = jnp.concatenate(outs, axis=-1)
+    out_ref[0] = merged.reshape(tile_h, width, 3 * n_out).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -78,32 +73,30 @@ def fused_norm_convs(x, k3, k5d2, k5d3, tile_h: int = 8, interpret: bool = False
     b, h, w, c = x.shape
     n = k3.shape[-1]
     assert h % tile_h == 0, (h, tile_h)
-    xp = jnp.pad(x, ((0, 0), (_HALO, _HALO), (_HALO, _HALO), (0, 0)))
+    assert tile_h >= _HALO, f"tile_h must cover the {_HALO}-row halo"
+    # rows padded by a full tile so the j-1/j+1 block views stay in bounds;
+    # width padded by the halo only
+    xp = jnp.pad(x, ((0, 0), (tile_h, tile_h), (_HALO, _HALO), (0, 0)))
+    wp = w + 2 * _HALO
 
     kernel = functools.partial(_norm_convs_kernel, tile_h=tile_h,
                                width=w, c_in=c, n_out=n)
+    row_block = lambda off: pl.BlockSpec(
+        (1, tile_h, wp, c), lambda i, j, off=off: (i, j + off, 0, 0),
+        memory_space=pltpu.VMEM)
+    const_block = lambda k: pl.BlockSpec(
+        (k, k, c, n), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w, 3 * n), x.dtype),
         grid=(b, h // tile_h),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
-            pl.BlockSpec((3, 3, c, n), lambda i, j: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 5, c, n), lambda i, j: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 5, c, n), lambda i, j: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[row_block(0), row_block(1), row_block(2),
+                  const_block(3), const_block(5), const_block(5)],
         out_specs=pl.BlockSpec((1, tile_h, w, 3 * n),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _HALO, w + 2 * _HALO, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xp, k3, k5d2, k5d3)
+    )(xp, xp, xp, k3, k5d2, k5d3)
 
 
 def xla_norm_convs(x, k3, k5d2, k5d3):

@@ -35,6 +35,18 @@ def run_eval_loop(eval_step_fn, loader: DataLoader, nclass: int):
     return metric, loss_meter
 
 
+def resolve_precision(name):
+    """Config `precision:` -> module compute dtype. bf16 is the TPU-native
+    choice (params stay f32 masters); default (None/f32) keeps reference
+    numerics."""
+    if name in (None, "", "f32", "fp32", "float32"):
+        return None
+    if name in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    raise ValueError(f"unknown precision {name!r} (use f32 or bf16)")
+
+
 def resolve_dataset_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Dataset-specific constructor kwargs from config (synthetic knobs)."""
     name = cfg["data"]["dataset"].lower()

@@ -19,8 +19,8 @@ import numpy as np
 
 from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
-                                     resolve_dataset_kwargs, run_eval_loop,
-                                     to_device_batch)
+                                     resolve_dataset_kwargs, resolve_precision,
+                                     run_eval_loop, to_device_batch)
 from senas_tpu.search.supernet import (SenasSearch, derive_genotype,
                                        init_arch_params, normalize_arch)
 from senas_tpu.train.checkpoint import CheckpointManager
@@ -41,6 +41,8 @@ class SearchRunner:
         self.cfg = cfg
         s = cfg["searching"]
         set_seed(cfg.get("seed", 0))
+        if dtype is None:
+            dtype = resolve_precision(s.get("precision"))
 
         ds_name = cfg["data"]["dataset"]
         self.run_dir = make_run_dir(log_root, cfg["model"]["arch"], "search",
@@ -80,7 +82,8 @@ class SearchRunner:
                                 self.depth, use_sharing=self.use_sharing)
         hw = spec.crop_size
         x0 = jnp.zeros((bs, hw[0], hw[1], spec.in_channels), jnp.float32)
-        aw = normalize_arch(arch, self.meta_node_num)
+        aw = normalize_arch(arch, self.meta_node_num,
+                            s.get("beta_mode", "reference"))
         variables = self.net.init({"params": rng}, x0, aw, False)
         self.logger.info("param size = %.3f MB",
                          calc_parameters_count(variables["params"]))
@@ -92,7 +95,11 @@ class SearchRunner:
         base_lr = float(s.get("model_optimizer", {}).get("lr", 1e-2))
         self.scheduler = build_scheduler(base_lr, {"name": "cos", "T_max": s["epoch"]})
 
-        normalize = lambda a: normalize_arch(a, self.meta_node_num)
+        # beta grouping: "reference" reproduces the reference's overlapping
+        # softmax groups; "grouped" is the disjoint variant (supernet.py)
+        self.beta_mode = s.get("beta_mode", "reference")
+        normalize = lambda a: normalize_arch(a, self.meta_node_num,
+                                             self.beta_mode)
         self.search_step = make_search_step(self.net.apply, normalize, self.loss_fn,
                                             self.w_tx, self.a_tx,
                                             grad_clip=s.get("grad_clip", 5.0))
@@ -129,7 +136,8 @@ class SearchRunner:
 
     def derive(self):
         return derive_genotype(jax.device_get(self.state.arch),
-                               self.meta_node_num, self.depth)
+                               self.meta_node_num, self.depth,
+                               beta_mode=self.beta_mode)
 
     # ------------------------------------------------------------------
     def run(self) -> str:

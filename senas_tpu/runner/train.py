@@ -22,8 +22,8 @@ from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
 from senas_tpu.models import geno_searched
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
-                                     resolve_dataset_kwargs, run_eval_loop,
-                                     to_device_batch)
+                                     resolve_dataset_kwargs, resolve_precision,
+                                     run_eval_loop, to_device_batch)
 from senas_tpu.train.checkpoint import CheckpointManager
 from senas_tpu.train.loss import build_loss
 from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
@@ -52,6 +52,8 @@ class TrainRunner:
         self.cfg = cfg
         t = cfg["training"]
         set_seed(cfg.get("seed", 0))
+        if dtype is None:
+            dtype = resolve_precision(t.get("precision"))
         ds_name = cfg["data"]["dataset"]
         self.model_name = model_name
         self.run_dir = make_run_dir(log_root, model_name, "train", ds_name,

@@ -84,12 +84,13 @@ class TestLoader:
         dl = DataLoader(ds, batch_size=5, indices=list(range(5)))
         assert len(dl) == 1
 
-    def test_pad_iterator(self):
+    def test_trailing_partial_batch_kept_exact(self):
+        # parity: the reference evaluates the true partial batch (no
+        # padding) — see base.py NOTE on trailing batches
         ds = get_dataset("synthetic", path="", mode="train", size=6, hw=16)
         dl = DataLoader(ds, batch_size=4)
-        batches = list(dl.epoch_iterator())
-        assert batches[-1]["image"].shape[0] == 4
-        assert batches[-1]["pad_mask"].sum() == 2
+        batches = list(dl)
+        assert batches[-1]["image"].shape[0] == 2
 
 
 class TestIO:

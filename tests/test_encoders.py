@@ -21,7 +21,7 @@ CONTRACTS = {
 @pytest.mark.parametrize("name", sorted(CONTRACTS))
 def test_encoder_pyramid(name):
     depth = 5
-    hw = 64
+    hw = 32
     enc = get_encoder(name, depth=depth)
     x = jnp.ones((1, hw, hw, 3))
     variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)

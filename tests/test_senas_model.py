@@ -10,7 +10,7 @@ from senas_tpu.models.senas_model import SenasModel
 from senas_tpu.train.loss import build_loss
 
 
-def _build(genotype, depth=4, c=8, nclass=2, in_ch=1, hw=32, supervision=False,
+def _build(genotype, depth=3, c=8, nclass=2, in_ch=1, hw=16, supervision=False,
            double_down=False):
     model = SenasModel(nclass=nclass, in_channels=in_ch, c=c, depth=depth,
                        supervision=supervision, genotype=genotype,
@@ -26,7 +26,7 @@ class TestSenasModel:
         model, variables, x = _build(genotype)
         outs = model.apply(variables, x, False)
         assert isinstance(outs, list) and len(outs) == 1
-        assert outs[0].shape == (2, 32, 32, 2)
+        assert outs[0].shape == (2, 16, 16, 2)
 
     def test_depth5(self):
         model, variables, x = _build(senas_node_4, depth=5, hw=64)
@@ -36,14 +36,14 @@ class TestSenasModel:
     def test_double_down_channel(self):
         model, variables, x = _build(senas_node_4, double_down=True)
         outs = model.apply(variables, x, False)
-        assert outs[0].shape == (2, 32, 32, 2)
+        assert outs[0].shape == (2, 16, 16, 2)
 
     def test_supervision_heads(self):
         model, variables, x = _build(senas_node_4, supervision=True)
         outs = model.apply(variables, x, False)
         assert len(outs) >= 1
         for o in outs:
-            assert o.shape == (2, 32, 32, 2)
+            assert o.shape == (2, 16, 16, 2)
 
     def test_gamma_pruning_changes_paramcount(self):
         from senas_tpu.core.genotype import Genotype

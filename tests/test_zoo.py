@@ -20,14 +20,14 @@ from senas_tpu.train.trainer import FixedTrainState, make_train_step
 # the x4 head restores full resolution; the FPA pyramid needs >= 128 input.
 ZOO = [
     ("unet", 4, 64, 64),
-    ("unet_plus_plus", 4, 64, 64),
-    ("manet", 4, 64, 64),
-    ("linknet", 4, 64, 64),
+    ("unet_plus_plus", 4, 32, 32),
+    ("manet", 4, 32, 32),
+    ("linknet", 4, 32, 32),
     ("fpn", 5, 64, 64),
     ("pspnet", 5, 64, 16),
     ("pan", 5, 128, 128),
     ("deeplab_v3_plus", 5, 64, 64),
-    ("nasunet", 5, 64, 64),
+    ("nasunet", 4, 32, 32),
 ]
 
 

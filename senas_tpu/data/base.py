@@ -140,6 +140,50 @@ class DataLoader:
     # compilation cache.
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around a DataLoader.
+
+    The TPU-native stand-in for the reference's DataLoader workers
+    (n_workers: 2, senas_promise12.yml:16): batch assembly (augmentation,
+    CLAHE, elastic deform) overlaps the device step. depth=2 keeps one
+    batch in flight and one ready.
+    """
+
+    def __init__(self, loader: "DataLoader", depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
 # ---------------------------------------------------------------------------
 # Registry (utils/datasets/__init__.py:21-66)
 # ---------------------------------------------------------------------------

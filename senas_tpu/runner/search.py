@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
+from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
+                            get_dataset_spec)
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
                                      resolve_dataset_kwargs, resolve_precision,
                                      run_eval_loop, to_device_batch)
@@ -174,7 +175,7 @@ class SearchRunner:
             timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
             do_arch = epoch >= alpha_begin
             val_iter = iter(self.valid_queue)
-            for step, batch in enumerate(self.train_queue):
+            for step, batch in enumerate(PrefetchLoader(self.train_queue)):
                 try:
                     val_batch = next(val_iter)
                 except StopIteration:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from senas_tpu.core.genotype import parse_genotype
-from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
+from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
+                            get_dataset_spec)
 from senas_tpu.models import geno_searched
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
@@ -149,7 +150,7 @@ class TrainRunner:
             metric = SegmentationMetric(self.n_classes)
             loss_meter = AverageMeter()
             timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
-            for step, batch in enumerate(self.train_queue):
+            for step, batch in enumerate(PrefetchLoader(self.train_queue)):
                 with timer:
                     self.state, m = self.train_step(self.state,
                                                     to_device_batch(batch))

@@ -68,12 +68,32 @@ def dice_ce_loss(logits: jax.Array, target: jax.Array, square_dice: bool = False
     return cross_entropy(logits, target) + dice
 
 
+def _smp(cls_name: str, with_mode: bool = True, **kw):
+    """Lazy adapters for the smp loss family (train/smp_losses.py) — the
+    reference exposes those classes under segmentation_models_pytorch.losses;
+    here they are reachable through the same loss-name config surface.
+    All operate on multiclass NHWC logits + int label maps."""
+    def make(logits, target):
+        from senas_tpu.train import smp_losses
+        cls = getattr(smp_losses, cls_name)
+        loss = cls(mode="multiclass", **kw) if with_mode else cls(**kw)
+        return loss(logits, target)
+    return make
+
+
 _LOSSES = {
     "cross_entropy": cross_entropy,
     "dice_ce": lambda lg, tg: dice_ce_loss(lg, tg, square_dice=False),
     "dice_sq_ce": lambda lg, tg: dice_ce_loss(lg, tg, square_dice=True),
     "dice_loss": soft_dice_loss,
     "dice_square": soft_dice_loss_squared,
+    # smp family (segmentation_models_pytorch/losses)
+    "smp_dice": _smp("DiceLoss"),
+    "smp_jaccard": _smp("JaccardLoss"),
+    "smp_tversky": _smp("TverskyLoss", alpha=0.3, beta=0.7),
+    "smp_focal": _smp("FocalLoss", alpha=0.25),
+    "smp_lovasz": _smp("LovaszLoss"),
+    "smp_soft_ce": _smp("SoftCrossEntropyLoss", with_mode=False, smooth_factor=0.1),
 }
 
 

@@ -116,3 +116,45 @@ class SegmentationMetric:
 
     def get(self):
         return self.acc.mperc(), percentage(self.miou()), percentage(self.dice())
+
+
+class RunScore:
+    """Confusion-matrix scorer (utils/utils.py:43-90): accumulates an
+    n_classes^2 histogram over (true, pred) label maps and reports overall
+    accuracy, per-class mean accuracy, mean IoU, frequency-weighted
+    accuracy, and the per-class IoU table."""
+
+    def __init__(self, n_classes: int):
+        self.n_classes = n_classes
+        self.reset()
+
+    def _hist(self, label_true: np.ndarray, label_pred: np.ndarray) -> np.ndarray:
+        n = self.n_classes
+        valid = (label_true >= 0) & (label_true < n)
+        return np.bincount(
+            n * label_true[valid].astype(int) + label_pred[valid],
+            minlength=n * n).reshape(n, n)
+
+    def update(self, label_trues, label_preds):
+        for lt, lp in zip(label_trues, label_preds):
+            self.confusion_matrix += self._hist(np.asarray(lt).ravel(),
+                                                np.asarray(lp).ravel())
+
+    def get_scores(self):
+        hist = self.confusion_matrix
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.diag(hist).sum() / hist.sum()
+            per_class_acc = np.diag(hist) / hist.sum(axis=1)
+            iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0)
+                                  - np.diag(hist))
+            freq = hist.sum(axis=1) / hist.sum()
+        summary = {
+            "Overall Acc": acc,
+            "Mean Acc": np.nanmean(per_class_acc),
+            "FreqW Acc": (freq[freq > 0] * iu[freq > 0]).sum(),
+            "Mean IoU ": np.nanmean(iu),
+        }
+        return summary, dict(enumerate(iu))
+
+    def reset(self):
+        self.confusion_matrix = np.zeros((self.n_classes, self.n_classes))

@@ -44,14 +44,30 @@ def get_gpus_memory_info() -> Tuple[int, Dict]:
     return best, stats
 
 
-def device_memory_log(logger=None) -> Dict:
-    """Log per-device memory (gpu_memory_log.py equivalent)."""
+def device_memory_log(logger=None, top_k: int = 20) -> Dict:
+    """Log per-device memory plus the largest live device arrays by shape —
+    the equivalent of the reference's gc-walk of live CUDA tensors
+    (utils/gpu_memory_log.py:35-79), via jax.live_arrays()."""
+    emit = logger.info if logger else print
     _, stats = get_gpus_memory_info()
     for i, s in stats.items():
-        line = (f"device {i}: in_use={s.get('bytes_in_use', 0)/2**20:.1f}MiB "
-                f"limit={s.get('bytes_limit', 0)/2**20:.1f}MiB "
-                f"peak={s.get('peak_bytes_in_use', 0)/2**20:.1f}MiB")
-        (logger.info if logger else print)(line)
+        emit(f"device {i}: in_use={s.get('bytes_in_use', 0)/2**20:.1f}MiB "
+             f"limit={s.get('bytes_limit', 0)/2**20:.1f}MiB "
+             f"peak={s.get('peak_bytes_in_use', 0)/2**20:.1f}MiB")
+    by_shape: Dict[Tuple, Tuple[int, int]] = {}
+    try:
+        live = jax.live_arrays()
+    except Exception:
+        live = []
+    for arr in live:
+        key = (tuple(arr.shape), str(arr.dtype))
+        count, size = by_shape.get(key, (0, 0))
+        by_shape[key] = (count + 1, size + arr.nbytes)
+    rows = sorted(by_shape.items(), key=lambda kv: -kv[1][1])[:top_k]
+    total = sum(size for _, (_, size) in by_shape.items())
+    emit(f"live arrays: {len(live)} ({total/2**20:.1f}MiB)")
+    for (shape, dtype), (count, size) in rows:
+        emit(f"  {count:4d} x {dtype}{list(shape)} = {size/2**20:.2f}MiB")
     return stats
 
 

@@ -130,3 +130,29 @@ class TestSynthetic:
         assert img.shape == (32, 32, 1) and lab.shape == (32, 32)
         # foreground intensity correlates with label
         assert img[lab == 1].mean() > img[lab == 0].mean()
+
+
+class TestPrefetchLoader:
+    def test_yields_same_batches(self):
+        from senas_tpu.data import DataLoader, PrefetchLoader, get_dataset
+        ds = get_dataset("synthetic", path="", mode="train", size=10, hw=16)
+        dl = DataLoader(ds, batch_size=4, shuffle=False)
+        direct = [b["image"].sum() for b in dl]
+        prefetched = [b["image"].sum() for b in PrefetchLoader(dl)]
+        assert direct == prefetched
+        assert len(PrefetchLoader(dl)) == len(dl)
+
+    def test_propagates_worker_errors(self):
+        import pytest
+        from senas_tpu.data import PrefetchLoader
+
+        class Broken:
+            def __len__(self):
+                return 1
+
+            def __iter__(self):
+                raise RuntimeError("boom")
+                yield  # pragma: no cover
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(PrefetchLoader(Broken()))

@@ -91,7 +91,8 @@ def bench_fixed_train(batch: int, hw: int, steps: int, dtype=None):
 
     def once():
         holder["state"], m = step(holder["state"], batch_d)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # forced host readback: block_until_ready proved
+        # unreliable as a sync through the axon tunnel for some programs
 
     sec = _time_steps(once, steps)
     # analyzed forward+backward+update flops of the whole compiled step
@@ -154,7 +155,7 @@ def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
 
     def once():
         holder["state"], m = step(holder["state"], tb, vb, True)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # forced host readback (see bench_fixed_train)
 
     sec = _time_steps(once, steps)
     return {

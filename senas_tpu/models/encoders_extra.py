@@ -1,14 +1,14 @@
 """Additional encoder families for the baseline zoo: VGG, DenseNet,
-MobileNetV2 (NHWC Flax).
+MobileNetV2, EfficientNet-B0/1/2 (NHWC Flax).
 
 Parity targets: segmentation_models_pytorch/encoders/{vgg,densenet,
-mobilenet}.py — same stage boundaries and per-stage channel contract
-(feature pyramid at strides 1,2,4,8,16,32), so every zoo decoder works
-unchanged on top. The remaining reference families (dpn, senet,
-inception*, xception, efficientnet and the timm-* set) wrap third-party
-pretrained packages (timm/pretrainedmodels/efficientnet_pytorch) that are
-not baked into this image; they raise a clear error from get_encoder with
-that explanation rather than shipping silent stand-ins.
+mobilenet,efficientnet}.py — same stage boundaries and per-stage channel
+contract (feature pyramid at strides 1,2,4,8,16,32), so every zoo decoder
+works unchanged on top. The remaining reference families (dpn, senet,
+inception*, xception and the timm-* set) wrap third-party pretrained
+packages (timm/pretrainedmodels) that are not baked into this image; they
+raise a clear error from get_encoder with that explanation rather than
+shipping silent stand-ins.
 """
 
 from __future__ import annotations
@@ -248,5 +248,124 @@ EXTRA_ENCODERS = {
 
 # families whose reference implementations wrap packages not in this image
 GATED_FAMILIES = ("dpn", "senet", "se_resnet", "se_resnext",
-                  "inceptionresnetv2", "inceptionv4", "efficientnet",
+                  "inceptionresnetv2", "inceptionv4",
                   "xception", "timm-", "tu-")
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet (native Flax; efficientnet.py stage contract)
+# ---------------------------------------------------------------------------
+
+def _round_filters(c: int, width_mult: float, divisor: int = 8) -> int:
+    c *= width_mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return int(new_c)
+
+
+def _round_repeats(n: int, depth_mult: float) -> int:
+    import math
+    return int(math.ceil(depth_mult * n))
+
+
+class _MBConv(nn.Module):
+    """MBConv: expand 1x1 -> depthwise kxk (stride s) -> SE(0.25 of block
+    input) -> project 1x1, swish activations, residual when shapes match.
+    Stochastic depth (drop-connect) is omitted — a train-time regularizer
+    the reference only gets via the efficientnet_pytorch wheel."""
+
+    c_out: int
+    kernel: int
+    stride: int
+    expand: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        hidden = c_in * self.expand
+        y = x
+        if self.expand != 1:
+            w = self.param("expand_conv", kaiming_normal, (1, 1, c_in, hidden),
+                           jnp.float32)
+            y = conv2d(y, w.astype(y.dtype))
+            y = build_norm(self.dtype, name="expand_bn")(
+                y, use_running_average=not train)
+            y = nn.swish(y)
+        wd = self.param("dw_conv", kaiming_normal,
+                        (self.kernel, self.kernel, 1, hidden), jnp.float32)
+        y = conv2d(y, wd.astype(y.dtype), stride=self.stride, groups=hidden)
+        y = build_norm(self.dtype, name="dw_bn")(y, use_running_average=not train)
+        y = nn.swish(y)
+        # squeeze-excite, reduction relative to the BLOCK INPUT channels
+        se_c = max(1, c_in // 4)
+        s = jnp.mean(y, axis=(1, 2))
+        w1 = self.param("se_reduce", kaiming_normal, (hidden, se_c), jnp.float32)
+        b1 = self.param("se_reduce_b", nn.initializers.zeros, (se_c,), jnp.float32)
+        w2 = self.param("se_expand", kaiming_normal, (se_c, hidden), jnp.float32)
+        b2 = self.param("se_expand_b", nn.initializers.zeros, (hidden,), jnp.float32)
+        s = nn.swish(s @ w1.astype(s.dtype) + b1.astype(s.dtype))
+        s = nn.sigmoid(s @ w2.astype(s.dtype) + b2.astype(s.dtype))
+        y = y * s[:, None, None, :]
+        wp = self.param("project_conv", kaiming_normal,
+                        (1, 1, hidden, self.c_out), jnp.float32)
+        y = conv2d(y, wp.astype(y.dtype))
+        y = build_norm(self.dtype, name="project_bn")(
+            y, use_running_average=not train)
+        if self.stride == 1 and c_in == self.c_out:
+            y = x + y
+        return y
+
+
+# base (t expand, c channels, n repeats, k kernel, s stride) — EfficientNet-B0
+_EFFNET_PLAN = [(1, 16, 1, 3, 1), (6, 24, 2, 3, 2), (6, 40, 2, 5, 2),
+                (6, 80, 3, 3, 2), (6, 112, 3, 5, 1), (6, 192, 4, 5, 2),
+                (6, 320, 1, 3, 1)]
+# feature taps after these plan groups -> pyramid levels 2..5
+_EFFNET_STAGE_AFTER = {1: 2, 2: 3, 4: 4, 6: 5}
+
+
+class EfficientNetEncoder(nn.Module):
+    """EfficientNet-B{0,1,2} feature pyramid: f1 = stem (stride 2), then
+    taps after the c24 / c40 / c112 / c320 block groups — the smp
+    stage_idxs boundaries (efficientnet.py:45-53, 110-129)."""
+
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        features = [x]
+        if self.depth == 0:
+            return features
+        stem_c = _round_filters(32, self.width_mult)
+        w = self.param("stem_conv", kaiming_normal, (3, 3, x.shape[-1], stem_c),
+                       jnp.float32)
+        x = conv2d(x.astype(self.dtype or x.dtype),
+                   w.astype(self.dtype or x.dtype), stride=2)
+        x = build_norm(self.dtype, name="stem_bn")(x, use_running_average=not train)
+        x = nn.swish(x)
+        features.append(x)
+        for pi, (t, c, n, k, s) in enumerate(_EFFNET_PLAN):
+            c_out = _round_filters(c, self.width_mult)
+            for r in range(_round_repeats(n, self.depth_mult)):
+                x = _MBConv(c_out, k, s if r == 0 else 1, t, dtype=self.dtype,
+                            name=f"block{pi}_{r}")(x, train)
+            if pi in _EFFNET_STAGE_AFTER:
+                features.append(x)
+                if len(features) > self.depth:
+                    break
+        return features[: self.depth + 1]
+
+
+EXTRA_ENCODERS.update({
+    "efficientnet-b0": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.0, depth_mult=1.0)),
+    "efficientnet-b1": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.0, depth_mult=1.1)),
+    "efficientnet-b2": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.1, depth_mult=1.2)),
+})

@@ -15,6 +15,8 @@ CONTRACTS = {
     "vgg16_bn": (64, 128, 256, 512, 512, 512),
     "densenet121": (3, 64, 256, 512, 1024, 1024),
     "mobilenet_v2": (3, 16, 24, 32, 96, 1280),
+    "efficientnet-b0": (3, 32, 24, 40, 112, 320),
+    "efficientnet-b2": (3, 32, 24, 48, 120, 352),
 }
 
 
@@ -47,4 +49,4 @@ def test_gated_families_raise():
     with pytest.raises(KeyError, match="third-party"):
         get_encoder("timm-regnetx_002")
     with pytest.raises(KeyError, match="third-party"):
-        get_encoder("efficientnet-b0")
+        get_encoder("dpn68")

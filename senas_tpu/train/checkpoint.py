@@ -16,7 +16,25 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def _mask_empty(tree):
+    """Orbax rejects zero-size arrays (e.g. the depth-2 supernet's empty
+    gamma table); swap them for 1-element placeholders on save."""
+    return jax.tree.map(
+        lambda a: np.zeros((1,), a.dtype) if getattr(a, "size", 1) == 0 else a,
+        tree)
+
+
+def _unmask_empty(tree, abstract):
+    """Rebuild zero-size leaves from the abstract state's shapes/dtypes."""
+    return jax.tree.map(
+        lambda restored, orig: (jnp.zeros(orig.shape, orig.dtype)
+                                if getattr(orig, "size", 1) == 0 else restored),
+        tree, abstract)
 
 
 class CheckpointManager:
@@ -39,7 +57,7 @@ class CheckpointManager:
 
     def save(self, state: Any, meta: Dict[str, Any], is_best: bool = False,
              name: str = "last"):
-        payload = jax.device_get(state)
+        payload = _mask_empty(jax.device_get(state))
         self._ckptr.save(self._path(name), payload, force=True)
         self._ckptr.wait_until_finished()
         self._write_meta(name, meta)
@@ -52,7 +70,9 @@ class CheckpointManager:
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        state = self._ckptr.restore(path, jax.device_get(abstract_state))
+        abstract = jax.device_get(abstract_state)
+        state = self._ckptr.restore(path, _mask_empty(abstract))
+        state = _unmask_empty(state, abstract)
         meta: Dict[str, Any] = {}
         if os.path.exists(self._meta_path(name)):
             with open(self._meta_path(name)) as f:

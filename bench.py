@@ -260,6 +260,30 @@ def main():
     log(f"  {results['train_bf16']['images_per_sec']:.2f} img/s "
         f"({results['train_bf16']['sec_per_step']*1e3:.1f} ms/step)")
 
+    # Emit the headline + persist NOW: the search stage compiles for
+    # ~7 minutes; a harness-side timeout must not lose the train numbers.
+    headline = results["train_bf16"] if (
+        results["train_bf16"]["images_per_sec"]
+        > results["train_f32"]["images_per_sec"]) else results["train_f32"]
+    results["headline"] = {
+        "metric": "senas_fixed_train_images_per_sec",
+        "value": round(headline["images_per_sec"], 3),
+        "unit": "images/sec/chip",
+        "workload": f"senas_node_4 c=32 depth=5 batch={train_bs} {hw}x{hw} dice_ce+sgd",
+        "baseline": TORCH_REFERENCE_TRAIN_IMG_PER_SEC,
+        "baseline_desc": "torch reference, same workload, this host's CPU "
+                         "(no reference-published numbers exist; BASELINE.md)",
+    }
+    _write_results(results)
+    vs = (headline["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC
+          if hw == 256 else None)  # only comparable at the real workload shape
+    print(json.dumps({
+        "metric": "senas_fixed_train_images_per_sec",
+        "value": round(headline["images_per_sec"], 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }), flush=True)
+
     log("supernet search (fused cell) ...")
     results["search_fused"] = bench_search(search_bs, hw, steps, fused=True)
     log(f"  {results['search_fused']['steps_per_sec']:.3f} steps/s "
@@ -291,33 +315,16 @@ def main():
                 "error": f"{type(e).__name__}: {e}"[:500]}
             log(f"  pallas FAILED: {results['pallas_norm_convs']['error'][:160]}")
 
-    headline = results["train_bf16"] if (
-        results["train_bf16"]["images_per_sec"]
-        > results["train_f32"]["images_per_sec"]) else results["train_f32"]
-    results["headline"] = {
-        "metric": "senas_fixed_train_images_per_sec",
-        "value": round(headline["images_per_sec"], 3),
-        "unit": "images/sec/chip",
-        "workload": f"senas_node_4 c=32 depth=5 batch={train_bs} {hw}x{hw} dice_ce+sgd",
-        "baseline": TORCH_REFERENCE_TRAIN_IMG_PER_SEC,
-        "baseline_desc": "torch reference, same workload, this host's CPU "
-                         "(no reference-published numbers exist; BASELINE.md)",
-    }
+    _write_results(results)
+    log("bench complete")
 
+
+def _write_results(results):
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     log(f"details -> {out_path}")
-
-    vs = (headline["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC
-          if hw == 256 else None)  # only comparable at the real workload shape
-    print(json.dumps({
-        "metric": "senas_fixed_train_images_per_sec",
-        "value": round(headline["images_per_sec"], 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
 
 
 if __name__ == "__main__":

@@ -170,6 +170,15 @@ class TrainRunner:
             # ---- validation ----
             vmetric, vloss = run_eval_loop(self.eval_step, self.valid_queue,
                                            self.n_classes)
+            # input|pred|gt grid of the first val batch (train_model.py:331)
+            try:
+                first = next(iter(self.valid_queue))
+                out = self.eval_step(to_device_batch(first))
+                grid = store_images(first["image"], np.asarray(out["pred"]),
+                                    first["label"], self.n_classes)
+                self.writer.add_image_grid("Val/images", grid, epoch)
+            except Exception as e:  # image logging must never kill training
+                self.logger.warning("val image grid failed: %s", e)
             pixacc, miou, dice = vmetric.get()
             self.logger.info("Epoch %d Val loss: %f pixAcc: %s mIoU: %s dice: %s",
                              epoch, vloss.avg, pixacc, miou, dice)

@@ -152,3 +152,27 @@ class TestBlocks:
             out, variables = _init_apply(mod, jnp.ones((2, 16, 16, 16)))
             assert out.shape == (2, hw, hw, 24), ct
             assert "kernel" in variables["params"]
+
+
+class TestTorchTransposeParity:
+    def test_conv_transpose_matches_torch(self):
+        """ConvTranspose2d parity: torch computes the true transpose
+        (correlation with the spatially-flipped kernel, in/out swapped), so
+        w_ours[h, w, i, o] = w_torch[i, o, kH-1-h, kW-1-w]."""
+        import torch
+        import torch.nn.functional as F
+        rs = np.random.RandomState(0)
+        for k, d in [(3, 1), (5, 2)]:
+            x = rs.randn(2, 6, 6, 3).astype(np.float32)
+            wt = rs.randn(3, 4, k, k).astype(np.float32)  # (in, out, kH, kW)
+            pad = (k // 2) * d
+            theirs = F.conv_transpose2d(
+                torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(wt),
+                stride=2, padding=pad, output_padding=1, dilation=d
+            ).permute(0, 2, 3, 1).numpy()
+            w_ours = np.flip(wt, axis=(2, 3)).transpose(2, 3, 0, 1)
+            ours = P.conv_transpose2d(jnp.asarray(x),
+                                      jnp.asarray(w_ours.copy()),
+                                      stride=2, dilation=d, output_padding=1)
+            np.testing.assert_allclose(np.asarray(ours), theirs,
+                                       rtol=1e-4, atol=1e-4)

@@ -50,11 +50,52 @@ def get_same_padding(kernel_size: int) -> int:
     return kernel_size // 2
 
 
-def build_norm(dtype: Optional[Dtype] = None, name: Optional[str] = None) -> nn.BatchNorm:
-    """BatchNorm matching torch nn.BatchNorm2d defaults."""
-    return nn.BatchNorm(
-        momentum=0.9, epsilon=1e-5, use_bias=True, use_scale=True, dtype=dtype, name=name
-    )
+class BatchNorm(nn.Module):
+    """BatchNorm with EXACT torch nn.BatchNorm2d semantics.
+
+    flax.linen.BatchNorm updates the running variance with the BIASED batch
+    estimate; torch uses the UNBIASED one (factor n/(n-1)) — a ~0.1%/update
+    running-var drift that breaks strict eval parity. This module follows
+    torch: normalize by biased batch stats in train mode, update running
+    stats with momentum 0.1 and the unbiased variance. Variable layout
+    matches flax ({params: scale, bias}, {batch_stats: mean, var}) and the
+    class name keeps the "BatchNorm_0" auto-naming.
+    """
+
+    momentum: float = 0.1  # torch convention (flax equivalent: 0.9)
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased: normalization
+            if not self.is_initializing():
+                n = x.size // c
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+def build_norm(dtype: Optional[Dtype] = None, name: Optional[str] = None) -> BatchNorm:
+    """BatchNorm matching torch nn.BatchNorm2d defaults (see BatchNorm)."""
+    return BatchNorm(dtype=dtype, name=name)
 
 
 def relu(x):

@@ -176,3 +176,37 @@ class TestTorchTransposeParity:
                                       stride=2, dilation=d, output_padding=1)
             np.testing.assert_allclose(np.asarray(ours), theirs,
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestBatchNormTorchParity:
+    def test_running_stats_match_torch_unbiased(self):
+        """Our BatchNorm follows torch exactly: biased batch stats for
+        normalization, UNBIASED variance for the running update (flax's
+        stock BatchNorm uses the biased estimate there)."""
+        import torch
+        rs = np.random.RandomState(0)
+        x = rs.randn(4, 8, 8, 3).astype(np.float32) * 2 + 1
+        tbn = torch.nn.BatchNorm2d(3, momentum=0.1, eps=1e-5)
+        tbn.train()
+        with torch.no_grad():
+            for _ in range(3):
+                ty = tbn(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+        ty = np.transpose(ty.numpy(), (0, 2, 3, 1))
+
+        bn = P.build_norm()
+        v = bn.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                    use_running_average=False)
+        for _ in range(3):
+            fy, mut = bn.apply(v, jnp.asarray(x), use_running_average=False,
+                               mutable=["batch_stats"])
+            v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+        np.testing.assert_allclose(np.asarray(fy), ty, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v["batch_stats"]["var"]),
+                                   tbn.running_var.numpy(), rtol=1e-6)
+        tbn.eval()
+        with torch.no_grad():
+            te = np.transpose(
+                tbn(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy(),
+                (0, 2, 3, 1))
+        fe = bn.apply(v, jnp.asarray(x), use_running_average=True)
+        np.testing.assert_allclose(np.asarray(fe), te, atol=2e-5)

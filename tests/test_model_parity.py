@@ -240,3 +240,69 @@ def test_senas_model_logits_match_reference(ref_mod, geno_name):
 
     out = ours.apply(variables, jnp.asarray(x), False)[-1]
     np.testing.assert_allclose(np.asarray(out), theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_senas_model_grads_match_reference(ref_mod):
+    """End-to-end TRAINING parity: identical dice_ce loss and identical
+    d(loss)/d(params) through the whole net on identical weights + batch.
+    torch grads are mapped through the same layout translators, so any
+    stop-gradient / wiring / loss discrepancy shows up here."""
+    from senas_tpu.train.loss import build_loss
+
+    genotype = geno_searched.senas_node_2
+    depth, c, hw = 3, 8, 16
+    from utils.genotype import Genotype
+    ref_geno = eval(repr(genotype), {"Genotype": Genotype, "range": range})
+    torch.manual_seed(1)
+    ref_net = ref_mod.SenasModel(2, 1, c=c, depth=depth, supervision=False,
+                                 genotype=ref_geno, double_down_channel=False)
+    ref_net.eval()  # eval-mode BN on both sides isolates the grad math
+
+    ours = SenasModel(nclass=2, in_channels=1, c=c, depth=depth,
+                      genotype=genotype)
+    variables = _translate_model(ref_net.state_dict(), genotype, depth)
+
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, hw, hw, 1).astype(np.float32)
+    label = rs.randint(0, 2, (2, hw, hw))
+
+    # --- torch side: reference dice_ce (utils/loss/loss.py) ---
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.loss.loss import SegmentationLosses
+    finally:
+        sys.path.pop(0)
+    crit = SegmentationLosses(name="dice_ce")
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=False)
+    out_t = ref_net(xt)
+    loss_t = crit(out_t, torch.tensor(label, dtype=torch.long))
+    loss_t.backward()
+
+    # --- our side ---
+    loss_fn = build_loss("dice_ce")
+
+    def loss_of(params):
+        outs = ours.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), False)
+        return loss_fn(outs, jnp.asarray(label.astype(np.int32)))
+
+    loss_j, grads = jax.value_and_grad(loss_of)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t.item()), rtol=1e-5)
+
+    # translate torch grads through the SAME layout mapping and compare
+    # state_dict(keep_vars=True) exposes grads under ALL alias names
+    # (stem1 and blocks.0.0 share modules in the reference)
+    grad_sd = {}
+    for name, t in ref_net.state_dict(keep_vars=True).items():
+        g = getattr(t, "grad", None)
+        grad_sd[name] = (g if g is not None else torch.zeros_like(t)).detach()
+    ref_grads = _translate_model(grad_sd, genotype, depth)["params"]
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_ref = jax.tree.leaves(ref_grads)
+    assert len(flat_ours) == len(flat_ref)
+    for (path, g_ours), g_ref in zip(flat_ours, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(g_ours), np.asarray(g_ref), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

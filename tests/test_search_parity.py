@@ -216,3 +216,66 @@ def test_supernet_forward_matches_reference(ref_search_mod):
 
     out = ours.apply(variables, jnp.asarray(x), aw, False)[-1]
     np.testing.assert_allclose(np.asarray(out), theirs, rtol=2e-4, atol=2e-5)
+
+
+def test_arch_gradients_match_reference(ref_search_mod):
+    """Bilevel-search parity: d(loss)/d(raw arch params) — through the
+    softmax normalization (overlapping-beta reference mode), the supernet,
+    and the dice_ce loss — matches the reference's first-order DARTS
+    gradients (Architecture.step, senas_search.py:289-303)."""
+    from senas_tpu.train.loss import build_loss
+
+    torch.manual_seed(0)
+    ref_nas = ref_search_mod.NAS(
+        1, C, 2, DEPTH, meta_node_num=META, use_sharing=False,
+        double_down_channel=False, supervision=False, multi_gpus=False,
+        device=torch.device("cpu"))
+    ref_nas.eval()
+
+    arch = init_arch_params(jax.random.PRNGKey(7), META, DEPTH,
+                            use_sharing=False)
+    arch = jax.tree.map(lambda a: a * 50.0, arch)
+    name_map = {"alphas_dn": "alphas_dn", "alphas_up": "alphas_up",
+                "alphas_dn_nm": "alphas_dn_nm", "alphas_up_nm": "alphas_up_nm",
+                "betas_dn": "betas_dn", "betas_up": "betas_up",
+                "gamma": "gamma"}
+    with torch.no_grad():
+        for ours_name, ref_name in name_map.items():
+            getattr(ref_nas, ref_name).copy_(
+                torch.tensor(np.asarray(arch[ours_name])))
+
+    ours_net = SenasSearch(in_channels=1, c=C, nclass=2, depth=DEPTH,
+                           meta_node_num=META, fused=False)
+    sd = {k[len("net."):]: v for k, v in ref_nas.state_dict().items()
+          if k.startswith("net.")}
+    variables = _translate_search(sd, DEPTH, META)
+
+    rs = np.random.RandomState(2)
+    x = rs.randn(2, HW, HW, 1).astype(np.float32)
+    label = rs.randint(0, 2, (2, HW, HW))
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.loss.loss import SegmentationLosses
+    finally:
+        sys.path.pop(0)
+    crit = SegmentationLosses(name="dice_ce")
+    out_t = ref_nas(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    loss_t = crit(out_t, torch.tensor(label, dtype=torch.long))
+    loss_t.backward()
+
+    loss_fn = build_loss("dice_ce")
+
+    def loss_of(raw_arch):
+        aw = normalize_arch(raw_arch, META, beta_mode="reference")
+        outs = ours_net.apply(variables, jnp.asarray(x), aw, False)
+        return loss_fn(outs, jnp.asarray(label.astype(np.int32)))
+
+    loss_j, grads = jax.value_and_grad(loss_of)(arch)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.item()), rtol=1e-5)
+    for ours_name, ref_name in name_map.items():
+        g_ref = getattr(ref_nas, ref_name).grad
+        g_ref = (np.zeros(arch[ours_name].shape, np.float32)
+                 if g_ref is None else g_ref.numpy())
+        np.testing.assert_allclose(np.asarray(grads[ours_name]), g_ref,
+                                   rtol=5e-3, atol=1e-6, err_msg=ours_name)

@@ -84,21 +84,22 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
                              dtype=dtype, dilate_last=dilate_last,
                              name="encoder")
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
-    if name in EXTRA_ENCODERS:
+    from senas_tpu.models.encoders_families import FAMILY_ENCODERS
+    if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS:
         if dilate_last:
             raise ValueError(f"{name!r} does not support dilated mode")
-        entry = EXTRA_ENCODERS[name]
+        entry = EXTRA_ENCODERS.get(name) or FAMILY_ENCODERS[name]
         return entry["cls"](depth=depth, dtype=dtype, name="encoder",
                             **entry["kw"])
     if any(name.startswith(f) for f in GATED_FAMILIES):
         raise KeyError(
-            f"encoder family of {name!r} wraps third-party pretrained "
-            "packages (timm/pretrainedmodels/efficientnet_pytorch) that are "
-            "not available in this environment; see "
+            f"encoder family of {name!r} wraps the timm model registry "
+            "(TimmUniversalEncoder / timm-* wrappers), which is not "
+            "available in this environment; see "
             "senas_tpu/models/encoders_extra.py GATED_FAMILIES")
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS as _E
     raise KeyError(f"unknown encoder {name!r}; available: "
-                   f"{sorted(_ENCODERS) + sorted(_E)}")
+                   f"{sorted(_ENCODERS) + sorted(_E) + sorted(FAMILY_ENCODERS)}")
 
 
 def encoder_out_channels(name: str, depth: int = 5) -> Tuple[int, ...]:

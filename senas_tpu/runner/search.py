@@ -20,6 +20,7 @@ import numpy as np
 from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
                             get_dataset_spec)
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
+                                     DeferredMetrics,
                                      resolve_dataset_kwargs, resolve_precision,
                                      run_eval_loop, to_device_batch)
 from senas_tpu.search.supernet import (SenasSearch, derive_genotype,
@@ -172,6 +173,7 @@ class SearchRunner:
             # ---- train epoch (bilevel) ----
             train_metric = SegmentationMetric(self.n_classes)
             loss_meter = AverageMeter()
+            acc = DeferredMetrics(train_metric, loss_meter)
             timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
             do_arch = epoch >= alpha_begin
             val_iter = iter(self.valid_queue)
@@ -185,13 +187,13 @@ class SearchRunner:
                     self.state, m = self.search_step(
                         self.state, to_device_batch(batch),
                         to_device_batch(val_batch), do_arch)
-                loss_meter.update(float(m["loss"]))
-                train_metric.update_counts(np.asarray(m["tp"]), np.asarray(m["fp"]),
-                                           np.asarray(m["fn"]), float(m["acc"]))
+                acc.push(m)
                 if step % report_freq == 0:
+                    acc.drain()
                     pixacc, miou, dice = train_metric.get()
                     self.logger.info("Train %03d loss %e dice %.5f", step + 1,
                                      loss_meter.avg, dice)
+            acc.drain()
             _, _, train_dice = train_metric.get()
             self.writer.add_scalar("Train/Loss", loss_meter.avg, epoch)
             self.writer.add_scalar("Train/dice", train_dice, epoch)

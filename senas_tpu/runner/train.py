@@ -23,6 +23,7 @@ from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
 from senas_tpu.models import geno_searched
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
+                                     DeferredMetrics,
                                      resolve_dataset_kwargs, resolve_precision,
                                      run_eval_loop, to_device_batch)
 from senas_tpu.train.checkpoint import CheckpointManager
@@ -149,18 +150,19 @@ class TrainRunner:
 
             metric = SegmentationMetric(self.n_classes)
             loss_meter = AverageMeter()
+            acc = DeferredMetrics(metric, loss_meter)
             timer = StepTimer(trace_dir=os.environ.get("SENAS_TRACE_DIR"))
             for step, batch in enumerate(PrefetchLoader(self.train_queue)):
                 with timer:
                     self.state, m = self.train_step(self.state,
                                                     to_device_batch(batch))
-                loss_meter.update(float(m["loss"]))
-                metric.update_counts(np.asarray(m["tp"]), np.asarray(m["fp"]),
-                                     np.asarray(m["fn"]), float(m["acc"]))
+                acc.push(m)
                 if step % report_freq == 0:
+                    acc.drain()
                     pixacc, miou, dice = metric.get()
                     self.logger.info("Train %03d loss %e dice %.5f", step + 1,
                                      loss_meter.avg, dice)
+            acc.drain()
             _, _, train_dice = metric.get()
             self.writer.add_scalar("Train/Loss", loss_meter.avg, epoch)
             self.writer.add_scalar("Train/dice", train_dice, epoch)

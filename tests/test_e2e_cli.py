@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.core.config import load_config
 from senas_tpu.runner.test import TestRunner
 from senas_tpu.runner.train import TrainRunner

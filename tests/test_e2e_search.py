@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.core.config import load_config
 from senas_tpu.core.genotype import parse_genotype
 from senas_tpu.runner.search import SearchRunner

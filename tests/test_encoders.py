@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.models.encoders import get_encoder
 
 # smp channel contracts (encoders/{resnet,vgg,densenet,mobilenet}.py)

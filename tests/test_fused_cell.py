@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.ops.primitives import OpType
 from senas_tpu.search.cell import MixedOp, SearchCell
 from senas_tpu.search.fused_cell import FusedSearchCell, GroupedMixedOp

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from flax import linen as nn
 
 from senas_tpu.models.geno_searched import senas_node_4

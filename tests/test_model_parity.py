@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from senas_tpu.models import geno_searched
 from senas_tpu.models.senas_model import SenasModel
 
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 @pytest.fixture(scope="module")

@@ -19,7 +19,7 @@ torch = pytest.importorskip("torch")
 from senas_tpu.core.genotype import DownOps, GenoParser, NormOps, UpOps
 from senas_tpu.search.supernet import derive_genotype
 
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 @pytest.fixture(scope="module")

@@ -25,7 +25,7 @@ from senas_tpu.search.supernet import (SenasSearch, init_arch_params,
                                        normalize_arch)
 from test_model_parity import _RefTree, _conv, _dense, _tconv
 
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 META, DEPTH, C, HW = 2, 3, 8, 16
 

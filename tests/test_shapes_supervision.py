@@ -1,6 +1,9 @@
 """Non-square inputs (heart crop is 256x320, hippo 32x48) and the
 deep-supervision paths of both the fixed model and the supernet."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

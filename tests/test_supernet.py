@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.core.genotype import Genotype
 from senas_tpu.models.senas_model import SenasModel
 from senas_tpu.search.supernet import (

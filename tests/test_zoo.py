@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.train.loss import build_loss
 from senas_tpu.train.optim import build_optimizer

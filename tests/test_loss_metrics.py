@@ -113,3 +113,48 @@ class TestMetrics:
             m.update(target, logits)
         pixacc, miou, dice = m.get()
         assert 0 <= miou <= 100 and 0 <= dice <= 100
+
+
+class TestDeferredMetrics:
+    """DeferredMetrics (runner/common.py) must accumulate identically to
+    per-step synchronous updates — it only batches the readbacks."""
+
+    def _mk(self, nclass=3):
+        from senas_tpu.runner.common import DeferredMetrics
+        from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
+        metric = SegmentationMetric(nclass)
+        meter = AverageMeter()
+        return DeferredMetrics(metric, meter, drain_every=4), metric, meter
+
+    def test_matches_synchronous_updates(self):
+        import jax.numpy as jnp
+        from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
+        rs = np.random.RandomState(0)
+        acc, metric, meter = self._mk()
+        ref_metric = SegmentationMetric(3)
+        ref_meter = AverageMeter()
+        for i in range(11):  # crosses the drain_every=4 boundary unevenly
+            m = {"loss": jnp.float32(rs.rand()),
+                 "tp": jnp.asarray(rs.randint(0, 50, 2)),
+                 "fp": jnp.asarray(rs.randint(0, 50, 2)),
+                 "fn": jnp.asarray(rs.randint(0, 50, 2)),
+                 "acc": jnp.float32(rs.rand())}
+            acc.push(m, n=2)
+            ref_meter.update(float(m["loss"]), n=2)
+            ref_metric.update_counts(np.asarray(m["tp"]), np.asarray(m["fp"]),
+                                     np.asarray(m["fn"]), float(m["acc"]))
+        acc.drain()
+        assert meter.count == ref_meter.count
+        assert abs(meter.avg - ref_meter.avg) < 1e-6
+        assert metric.get() == ref_metric.get()
+
+    def test_drain_idempotent_and_extra_keys_ignored(self):
+        import jax.numpy as jnp
+        acc, metric, meter = self._mk()
+        m = {"loss": jnp.float32(1.0), "tp": jnp.ones(2), "fp": jnp.zeros(2),
+             "fn": jnp.zeros(2), "acc": jnp.float32(0.5),
+             "pred": jnp.zeros((2, 8, 8))}  # must not be fetched/required
+        acc.push(m)
+        acc.drain()
+        acc.drain()
+        assert meter.count == 1 and meter.avg == 1.0

@@ -97,14 +97,14 @@ def build_optimizer(opt_cfg: Optional[Dict[str, Any]]) -> optax.GradientTransfor
     wd = float(cfg.pop("weight_decay", 0.0))
 
     def with_wd(base):
-        # optax.flatten: run the whole update on ONE raveled parameter
-        # vector. A SENAS model has ~500 tiny parameter tensors; unflattened,
-        # the optimizer lowers to ~500 separate TPU kernels (~0.1-0.2 ms
-        # fixed cost each — measured ~28 ms/step of pure housekeeping at
-        # batch 12). Flat, it is a handful of fused vector ops.
+        # NOTE: optax.flatten (one raveled update vector instead of ~500
+        # per-tensor kernels) was tried and measured on the chip: fixed-train
+        # device time unchanged (ravel/unravel copies offset the removed
+        # per-param kernels), bilevel search ~5% SLOWER (1451->1531 ms/step)
+        # and +9% compile. Keep the per-tensor updates.
         if wd > 0:
-            return optax.flatten(optax.chain(optax.add_decayed_weights(wd), base))
-        return optax.flatten(base)
+            return optax.chain(optax.add_decayed_weights(wd), base)
+        return base
 
     if name == "sgd":
         momentum = cfg.pop("momentum", 0.0) or None
@@ -179,12 +179,12 @@ def build_optimizer(opt_cfg: Optional[Dict[str, Any]]) -> optax.GradientTransfor
 
         @optax.inject_hyperparams
         def make(learning_rate):
-            return optax.flatten(optax.chain(
+            return optax.chain(
                 optax.add_decayed_weights(wd) if wd > 0 else optax.identity(),
                 scale_by_adabound(learning_rate, b1=betas[0], b2=betas[1],
                                   final_lr=final_lr, gamma=gamma, base_lr=lr),
                 optax.scale(-1.0),
-            ))
+            )
 
         # adabound consumes learning_rate inside scale_by_adabound
         return make(learning_rate=lr)

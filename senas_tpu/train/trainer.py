@@ -33,20 +33,17 @@ from senas_tpu.train.metrics import confusion_counts, mean_pix_accuracy
 
 
 def global_norm(tree) -> jax.Array:
-    """L2 norm over the raveled tree: ONE fused reduction instead of one
-    tiny reduce kernel per parameter tensor (~500 for a SENAS model)."""
-    flat, _ = jax.flatten_util.ravel_pytree(tree)
-    return jnp.sqrt(jnp.sum(flat.astype(jnp.float32) ** 2))
+    # (A raveled single-reduction variant was tried; measured no device-time
+    # win on the chip — the per-param reduce kernels were not the bottleneck
+    # — and the ravel/unravel copies slowed the search step. Keep tree form.)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in jax.tree.leaves(tree)))
 
 
 def clip_by_global_norm(tree, max_norm: float):
-    """torch.nn.utils.clip_grad_norm_ semantics (clip, do not normalize).
-
-    Norm and scale run on the raveled vector; unravel is cheap slicing."""
-    flat, unravel = jax.flatten_util.ravel_pytree(tree)
-    norm = jnp.sqrt(jnp.sum(flat.astype(jnp.float32) ** 2))
+    """torch.nn.utils.clip_grad_norm_ semantics (clip, do not normalize)."""
+    norm = global_norm(tree)
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
-    return unravel(flat * scale.astype(flat.dtype)), norm
+    return jax.tree.map(lambda x: x * scale, tree), norm
 
 
 # ---------------------------------------------------------------------------

@@ -312,8 +312,9 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
     }), flush=True)
 
-    log("supernet search (fused cell) ...")
-    results["search_fused"] = bench_search(search_bs, hw, steps, fused=True)
+    log("supernet search (fused cell, bf16) ...")
+    results["search_fused"] = bench_search(search_bs, hw, steps, fused=True,
+                                           dtype=jnp.bfloat16)
     log(f"  {results['search_fused']['steps_per_sec']:.3f} steps/s "
         f"(compile {results['search_fused']['compile_s']:.1f}s)")
 

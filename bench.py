@@ -40,6 +40,10 @@ import numpy as np
 # Measured on this host (1-core CPU, torch 2.13.0+cpu, reference
 # models/senas_model.py, batch 12 @ 256^2): 0.31 images/sec. See BASELINE.md.
 TORCH_REFERENCE_TRAIN_IMG_PER_SEC = 0.31
+# Reference bilevel search step (search/senas_search.py NAS, dice_ce, exact
+# senas_promise12.yml searching optimizers, batch 8 @ 256^2), same host:
+# 111.35 s/step median of 3. See BASELINE.md.
+TORCH_REFERENCE_SEARCH_STEPS_PER_SEC = 1.0 / 111.35
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 on the MXU.
 V5E_PEAK_FLOPS = 197e12
 
@@ -315,6 +319,10 @@ def main():
     log("supernet search (fused cell, bf16) ...")
     results["search_fused"] = bench_search(search_bs, hw, steps, fused=True,
                                            dtype=jnp.bfloat16)
+    if hw == 256:
+        results["search_fused"]["vs_torch_cpu_baseline"] = round(
+            results["search_fused"]["steps_per_sec"]
+            / TORCH_REFERENCE_SEARCH_STEPS_PER_SEC, 1)
     log(f"  {results['search_fused']['steps_per_sec']:.3f} steps/s "
         f"(compile {results['search_fused']['compile_s']:.1f}s)")
 

@@ -24,6 +24,7 @@ utils/operations.py:8-54. Op-set list order is load-bearing (alpha columns).
 from __future__ import annotations
 
 import enum
+import os
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -106,10 +107,39 @@ def relu(x):
 # Functional conv / pool / resize primitives (NHWC)
 # ---------------------------------------------------------------------------
 
+# Full-depthwise convolutions (feature_group_count == C) do not map onto the
+# TPU MXU: XLA lowers them — and especially their KERNEL GRADIENTS — to VPU
+# multiply+reduce loops. Profiled on the v5e chip, the supernet search step
+# spent 380 ms/step (27%) in scalar-output multiply_reduce fusions that are
+# exactly the dep-sep kernel grads at 256²/128² (~3 ms each for work a conv
+# does in tens of µs). Rewriting a depthwise conv as a DENSE conv with a
+# block-diagonal kernel is numerically identical (the off-block weights are
+# exact zeros) but runs forward AND both backward convs on the MXU. The
+# C× FLOP inflation only pays off for small C, so it is gated.
+DENSE_DEPTHWISE_MAX_CHANNELS = int(
+    os.environ.get("SENAS_DENSE_DEPTHWISE_MAX_CHANNELS", "64"))
+
+
+def _densify_depthwise(w, c_in: int):
+    """[k,k,1,C*mult] depthwise kernel -> block-diagonal dense [k,k,C,C*mult].
+
+    XLA group semantics: with feature_group_count=C, output feature o uses
+    input channel o // mult — the mask places each depthwise filter on that
+    diagonal block and exact zeros elsewhere."""
+    co = w.shape[3]
+    mult = co // c_in
+    sel = (jnp.arange(c_in)[:, None] == (jnp.arange(co)[None, :] // mult))
+    return w[:, :, 0][:, :, None, :] * sel[None, None].astype(w.dtype)
+
+
 def conv2d(x, w, stride: int = 1, dilation: int = 1, groups: int = 1):
     """2D conv, NHWC/HWIO, torch-style symmetric padding (k//2)*dilation."""
     k = w.shape[0]
     p = get_same_padding(k) * dilation if k > 1 else 0
+    if groups > 1 and groups == x.shape[-1] and w.shape[2] == 1 \
+            and groups <= DENSE_DEPTHWISE_MAX_CHANNELS:
+        w = _densify_depthwise(w, groups)
+        groups = 1
     return lax.conv_general_dilated(
         x,
         w,
@@ -134,6 +164,10 @@ def conv_transpose2d(x, w, stride: int = 2, dilation: int = 1, output_padding: i
     dk = dilation * (k - 1) + 1
     lo = dk - 1 - p
     hi = dk - 1 - p + output_padding
+    if groups > 1 and groups == x.shape[-1] and w.shape[2] == 1 \
+            and groups <= DENSE_DEPTHWISE_MAX_CHANNELS:
+        w = _densify_depthwise(w, groups)
+        groups = 1
     return lax.conv_general_dilated(
         x,
         w,

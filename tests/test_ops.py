@@ -210,3 +210,74 @@ class TestBatchNormTorchParity:
                 (0, 2, 3, 1))
         fe = bn.apply(v, jnp.asarray(x), use_running_average=True)
         np.testing.assert_allclose(np.asarray(fe), te, atol=2e-5)
+
+
+class TestDenseDepthwise:
+    """The block-diagonal dense rewrite of full-depthwise convs
+    (primitives.DENSE_DEPTHWISE_MAX_CHANNELS) must be numerically identical
+    to the grouped formulation — the off-block weights are exact zeros."""
+
+    def _grouped(self, fn, x, w, groups, **kw):
+        from senas_tpu.ops import primitives
+        old = primitives.DENSE_DEPTHWISE_MAX_CHANNELS
+        primitives.DENSE_DEPTHWISE_MAX_CHANNELS = 0  # force grouped path
+        try:
+            return fn(x, w, groups=groups, **kw)
+        finally:
+            primitives.DENSE_DEPTHWISE_MAX_CHANNELS = old
+
+    @pytest.mark.parametrize("mult", [1, 3])
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_conv2d_depthwise_dense_equals_grouped(self, mult, stride):
+        from senas_tpu.ops.primitives import conv2d
+        rs = np.random.RandomState(0)
+        c = 8
+        x = jnp.asarray(rs.randn(2, 16, 16, c), jnp.float32)
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 1, c * mult), jnp.float32)
+        dense = conv2d(x, w, stride=stride, groups=c)
+        grouped = self._grouped(conv2d, x, w, c, stride=stride)
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(grouped),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("mult", [1, 2])
+    def test_conv_transpose2d_depthwise_dense_equals_grouped(self, mult):
+        from senas_tpu.ops.primitives import conv_transpose2d
+        rs = np.random.RandomState(1)
+        c = 8
+        x = jnp.asarray(rs.randn(2, 8, 8, c), jnp.float32)
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 1, c * mult), jnp.float32)
+        dense = conv_transpose2d(x, w, stride=2, output_padding=1, groups=c)
+        grouped = self._grouped(conv_transpose2d, x, w, c, stride=2,
+                                output_padding=1)
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(grouped),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match(self):
+        import jax
+        from senas_tpu.ops import primitives
+        from senas_tpu.ops.primitives import conv2d
+        rs = np.random.RandomState(2)
+        c, mult = 8, 3
+        x = jnp.asarray(rs.randn(2, 12, 12, c), jnp.float32)
+        w = jnp.asarray(0.1 * rs.randn(5, 5, 1, c * mult), jnp.float32)
+
+        def loss_dense(w):
+            return jnp.sum(conv2d(x, w, groups=c) ** 2)
+
+        def loss_grouped(w):
+            return jnp.sum(self._grouped(conv2d, x, w, c) ** 2)
+
+        gd = jax.grad(loss_dense)(w)
+        gg = jax.grad(loss_grouped)(w)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_large_channel_count_stays_grouped(self):
+        # mobilenet-style 1152-channel depthwise must NOT densify (the
+        # FLOP inflation would be ~1000x); just check it still runs.
+        from senas_tpu.ops.primitives import conv2d
+        rs = np.random.RandomState(3)
+        c = 128  # > DENSE_DEPTHWISE_MAX_CHANNELS default of 64
+        x = jnp.asarray(rs.randn(1, 4, 4, c), jnp.float32)
+        w = jnp.asarray(rs.randn(3, 3, 1, c), jnp.float32)
+        assert conv2d(x, w, groups=c).shape == (1, 4, 4, c)

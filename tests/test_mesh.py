@@ -142,3 +142,56 @@ def test_batch_shardings():
     assert lab.addressable_shards[0].data.shape == (2, 8, 16)
     rep = jax.device_put(np.zeros((3, 3), np.float32), replicate(mesh))
     assert rep.sharding.is_fully_replicated
+
+
+def test_sharded_search_step_matches_single_device():
+    """The supernet bilevel step data-parallel over the mesh must equal the
+    single-device step — the mesh generalization of the reference's
+    hand-rolled supernet replica path (scatter inputs, broadcast softmaxed
+    alphas, replicate modules, gather outputs;
+    reference search/senas_search.py:262-279)."""
+    from senas_tpu.search.supernet import (SenasSearch, init_arch_params,
+                                           normalize_arch)
+    from senas_tpu.train.trainer import SearchTrainState, make_search_step
+
+    meta, depth, hw, batch = 2, 2, 16, 8
+    net = SenasSearch(in_channels=1, c=4, nclass=2, depth=depth,
+                      meta_node_num=meta)
+    rng = jax.random.PRNGKey(0)
+    arch = init_arch_params(jax.random.split(rng)[1], meta, depth)
+    x0 = jnp.zeros((batch, hw, hw, 1), jnp.float32)
+    aw = normalize_arch(arch, meta)
+    variables = net.init({"params": rng}, x0, aw, False)
+    w_tx = build_optimizer({"name": "sgd", "lr": 1e-2, "momentum": 0.9})
+    a_tx = build_optimizer({"name": "adam", "lr": 1e-3})
+    normalize = lambda a: normalize_arch(a, meta)
+    step = make_search_step(net.apply, normalize, build_loss("dice_ce"),
+                            w_tx, a_tx, grad_clip=5.0, donate=False)
+    rs = np.random.RandomState(0)
+    tb = {"image": rs.randn(batch, hw, hw, 1).astype(np.float32),
+          "label": rs.randint(0, 2, (batch, hw, hw)).astype(np.int32)}
+    vb = {"image": rs.randn(batch, hw, hw, 1).astype(np.float32),
+          "label": rs.randint(0, 2, (batch, hw, hw)).astype(np.int32)}
+
+    st0 = SearchTrainState.create(variables, arch, w_tx, a_tx)
+    ref_state, ref_metrics = step(
+        st0, {k: jnp.asarray(v) for k, v in tb.items()},
+        {k: jnp.asarray(v) for k, v in vb.items()}, True)
+
+    mesh = make_mesh(jax.devices()[:8], MeshSpec(data=8, spatial=1))
+    st = place_state(mesh, SearchTrainState.create(variables, arch, w_tx, a_tx))
+    out_state, out_metrics = step(
+        st, shard_batch(mesh, tb, spatial=False),
+        shard_batch(mesh, vb, spatial=False), True)
+
+    np.testing.assert_allclose(float(out_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-5)
+    for ka, (a, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.arch),
+            zip(jax.tree.leaves(ref_state.arch),
+                jax.tree.leaves(out_state.arch))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # weights updated and still replicated
+    leaves = jax.tree.leaves(out_state.params)
+    assert all(len(x.sharding.device_set) == 8 for x in leaves)

@@ -138,6 +138,49 @@ def bench_fixed_train(batch: int, hw: int, steps: int, dtype=None):
     }
 
 
+def bench_inference(hw: int, steps: int, dtype=None):
+    """Serving path: jitted eval-mode forward (no grad, running BN stats).
+
+    Reports batch-1 latency (p50 over `steps` synced calls) and batch-12 /
+    batch-64 pipelined throughput — the testing_model.py workload."""
+    from senas_tpu.models.geno_searched import senas_node_4
+    from senas_tpu.models.senas_model import SenasModel
+
+    model = SenasModel(nclass=2, in_channels=1, c=32, depth=5,
+                       genotype=senas_node_4, dtype=dtype)
+    rs = np.random.RandomState(0)
+    out = {}
+    for batch in (1, 12, 64):
+        x0 = jnp.zeros((batch, hw, hw, 1), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+
+        @jax.jit
+        def fwd(variables, x):
+            logits = model.apply(variables, x, False)
+            last = logits[-1] if isinstance(logits, (list, tuple)) else logits
+            return jnp.argmax(last, axis=-1)
+
+        x = jax.device_put(rs.randn(batch, hw, hw, 1).astype(np.float32))
+        pred = fwd(variables, x)
+        jax.block_until_ready(pred)
+        if batch == 1:
+            times = []
+            for _ in range(max(steps, 10)):
+                t0 = time.perf_counter()
+                np.asarray(fwd(variables, x))  # synced: true request latency
+                times.append(time.perf_counter() - t0)
+            out["batch1_p50_ms"] = float(np.median(times)) * 1e3
+        else:
+            n = max(steps, 20)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                pred = fwd(variables, x)
+            jax.block_until_ready(pred)
+            sec = (time.perf_counter() - t0) / n
+            out[f"batch{batch}_images_per_sec"] = batch / sec
+    return out
+
+
 def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
     from senas_tpu.search.supernet import (SenasSearch, init_arch_params,
                                            normalize_arch)
@@ -257,6 +300,9 @@ def main():
     ap.add_argument("--pallas-only", action="store_true",
                     help="run ONLY the pallas-vs-XLA comparison")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-sweep", type=str, default=None,
+                    help="comma list of batch sizes: also time fixed-train "
+                         "bf16 at each (throughput scaling table)")
     args = ap.parse_args()
 
     if args.pallas_only:
@@ -316,6 +362,16 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
     }), flush=True)
 
+    log("inference (eval forward, bf16) ...")
+    try:
+        results["inference_bf16"] = bench_inference(hw, steps,
+                                                    dtype=jnp.bfloat16)
+        log(f"  {results['inference_bf16']}")
+    except Exception as e:
+        results["inference_bf16"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        log(f"  inference FAILED: {e}")
+    _write_results(results)
+
     log("supernet search (fused cell, bf16) ...")
     results["search_fused"] = bench_search(search_bs, hw, steps, fused=True,
                                            dtype=jnp.bfloat16)
@@ -338,6 +394,21 @@ def main():
         except Exception as e:  # the naive graph can exceed compiler limits
             results["search_naive"] = {"error": f"{type(e).__name__}: {e}"[:500]}
             log(f"  naive cell FAILED: {results['search_naive']['error'][:160]}")
+
+    if args.batch_sweep:
+        results["batch_sweep"] = {}
+        for b in [int(s) for s in args.batch_sweep.split(",")]:
+            log(f"fixed-train bf16 batch {b} ...")
+            try:
+                r = bench_fixed_train(b, hw, steps, dtype=jnp.bfloat16)
+                results["batch_sweep"][str(b)] = r
+                log(f"  {r['images_per_sec']:.1f} img/s "
+                    f"({r['sec_per_step']*1e3:.1f} ms/step)")
+            except Exception as e:
+                results["batch_sweep"][str(b)] = {
+                    "error": f"{type(e).__name__}: {e}"[:300]}
+                log(f"  batch {b} FAILED: {e}")
+            _write_results(results)
 
     if args.with_pallas:
         log("pallas fused NORM convs vs XLA ...")

@@ -60,3 +60,30 @@ def test_unet_runs_on_extra_encoder():
 def test_gated_families_raise():
     with pytest.raises(KeyError, match="timm"):
         get_encoder("timm-regnetx_002")
+
+
+def test_family_encoder_trains_through_unet():
+    """One clipped SGD train step through a zoo decoder on a
+    families-module encoder (the grouped/SE bottleneck path)."""
+    import numpy as np
+    from senas_tpu.models.zoo import Unet
+    from senas_tpu.train.loss import build_loss
+    from senas_tpu.train.optim import build_optimizer
+    from senas_tpu.train.trainer import FixedTrainState, make_train_step
+
+    model = Unet(classes=2, in_channels=1, encoder_name="se_resnext50_32x4d",
+                 encoder_depth=4, decoder_channels=(64, 32, 16, 8))
+    x = jnp.ones((2, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    tx = build_optimizer({"name": "sgd", "lr": 1e-2, "momentum": 0.9})
+    step = make_train_step(model.apply, build_loss("dice_ce"), tx,
+                           grad_clip=5.0)
+    state = FixedTrainState.create(variables, tx)
+    batch = {"image": jnp.asarray(
+                 np.random.RandomState(0).randn(2, 32, 32, 1), jnp.float32),
+             "label": jnp.zeros((2, 32, 32), jnp.int32)}
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,63 @@
+"""Smoke tests for the offline tools/ scripts (reference tools/ parity):
+each runs as a subprocess against synthetic inputs and must produce its
+artifact."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc
+
+
+def test_cell_visualize_writes_dot(tmp_path):
+    _run(["tools/cell_visualize.py", "--geno-name", "senas_node_2",
+          "--directory", str(tmp_path)])
+    dots = [f for f in os.listdir(tmp_path) if f.endswith(".dot")
+            or f.endswith(".gv")] or list(os.listdir(tmp_path))
+    assert dots, f"no artifacts in {tmp_path}"
+
+
+def _write_run_dir(tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "scalars.jsonl", "w") as f:
+        for step in range(5):
+            f.write(json.dumps({"tag": "Train/Loss", "step": step,
+                                "value": 1.0 / (step + 1)}) + "\n")
+            f.write(json.dumps({"tag": "Val/dice", "step": step,
+                                "value": 50.0 + step}) + "\n")
+    return run
+
+
+def test_log_display_plots_scalars(tmp_path):
+    run = _write_run_dir(tmp_path)
+    _run(["tools/log_display.py", "--path", str(run),
+          "--out", str(tmp_path / "curves.png")])
+    outs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert outs, "log_display produced no plot"
+
+
+def test_train_display_builds_html(tmp_path):
+    run = _write_run_dir(tmp_path)
+    _run(["tools/train_display.py", "--path", str(run), "--no-images",
+          "--out", str(tmp_path / "replay.html")])
+    assert (tmp_path / "replay.html").exists()
+
+
+def test_calc_mean_std_on_synthetic():
+    proc = _run(["tools/calc_mean_std.py", "--dataset", "synthetic",
+                 "--limit", "8"])
+    out = proc.stdout.lower()
+    assert "mean" in out and "std" in out, proc.stdout[-500:]

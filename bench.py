@@ -11,15 +11,18 @@ the driver; CPU as a labeled fallback):
      arch step on a val batch + weight step on a train batch per step.
      Matches the reference search hot loop (search_arc.py:252-293).
 
-Prints ONE machine-parsable JSON line on stdout (the headline metric);
-full details go to bench_results.json and stderr.
+Prints a machine-parsable JSON headline line on stdout after EVERY completed
+stage (cumulative — each line carries all numbers measured so far, so a
+harness-side timeout can never lose a completed stage); full details go to
+bench_results.json and stderr. Results are also persisted to
+bench_results.json the moment each stage finishes.
 
-vs_baseline: ratio vs the PyTorch reference running the SAME fixed-train
-workload on this host (measured: 0.31 img/s on the 1-core CPU of this
+vs_baseline: ratio vs the PyTorch reference running the SAME supernet-search
+workload on this host (measured: 111.35 s/step on the 1-core CPU of this
 machine, see BASELINE.md). The reference repo publishes no GPU numbers, so
 this host-local measurement is the only reproducible baseline available.
 
-Usage: python bench.py [--quick] [--with-naive-search] [--steps N]
+Usage: python bench.py [--quick] [--budget SECONDS] [--steps N] ...
 """
 
 from __future__ import annotations
@@ -30,12 +33,21 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Repo-local persistent compile cache (survives across driver rounds; /tmp
+# is wiped per container). The search-step executable alone is ~100 MB and
+# 6-15 min of compile — reuse is the difference between finishing inside
+# the driver's clock and rc=124. MUST go through jax.config (env vars are
+# bound before user code runs on this machine — see utils/compile_cache.py).
+from senas_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(os.path.join(_REPO, ".jax_cache"))
 
 # Measured on this host (1-core CPU, torch 2.13.0+cpu, reference
 # models/senas_model.py, batch 12 @ 256^2): 0.31 images/sec. See BASELINE.md.
@@ -242,6 +254,65 @@ def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
     }
 
 
+def bench_input_pipeline(batch: int, hw: int, seconds: float = 8.0):
+    """Host data-loader throughput with FULL augmentation (VERDICT r2 #4).
+
+    PROMISE12-shaped synthetic samples (256^2 grayscale) through the exact
+    train-time joint transform (RandomTranslate(0.2,0.1) + VFlip + HFlip +
+    Elastic(1.5, 0.07) — promise12.py:361-366 / data/promise12.py:110-114),
+    measured in images/sec for serial vs threaded per-sample assembly and
+    with the PrefetchLoader wrapper. Compare against the device step rate
+    (~85 img/s at batch 12) to see whether the host starves the TPU.
+    """
+    from senas_tpu.data import augment as A
+    from senas_tpu.data.base import (DataLoader, DatasetSpec, PrefetchLoader,
+                                     SegmentationDataset)
+
+    class _SynthAug(SegmentationDataset):
+        spec = DatasetSpec("bench", "", 2, 1, (hw, hw), False)
+
+        def __init__(self, n=512):
+            rs = np.random.RandomState(0)
+            self.imgs = [rs.rand(hw, hw).astype(np.float32) for _ in range(8)]
+            self.labs = [(rs.rand(hw, hw) > 0.7).astype(np.uint8)
+                         for _ in range(8)]
+            self.n = n
+            self.tf = A.Compose([
+                A.RandomTranslate(offset=(0.2, 0.1)),
+                A.RandomVerticallyFlip(),
+                A.RandomHorizontallyFlip(),
+                A.RandomElasticTransform(alpha=1.5, sigma=0.07),
+            ])
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            img, lab = self.tf(self.imgs[i % 8].copy(), self.labs[i % 8].copy())
+            return img[..., None].astype(np.float32), lab.astype(np.int32)
+
+    def run(loader) -> float:
+        n_img = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            for b in loader:
+                n_img += b["image"].shape[0]
+                if time.perf_counter() - t0 >= seconds:
+                    break
+        return n_img / (time.perf_counter() - t0)
+
+    ds = _SynthAug()
+    out = {"host_cores": os.cpu_count(), "batch": batch, "hw": hw}
+    out["serial_img_per_sec"] = run(DataLoader(ds, batch, workers=1))
+    workers = min(4, os.cpu_count() or 1)
+    if workers > 1:
+        out["threaded_img_per_sec"] = run(DataLoader(ds, batch, workers=workers))
+        out["threaded_workers"] = workers
+    out["prefetch_img_per_sec"] = run(
+        PrefetchLoader(DataLoader(ds, batch, workers=workers)))
+    return out
+
+
 def bench_pallas_norm_convs(steps: int, chain: int = 10):
     """§7.6 prototype: the fused 3-branch NORM conv kernel vs three XLA
     convs at supernet first-cell shapes. `chain` iterations run inside one
@@ -289,21 +360,80 @@ def bench_pallas_norm_convs(steps: int, chain: int = 10):
     return out
 
 
+def _emit_headline(results, hw: int, train_bs: int):
+    """Print the cumulative machine-parsable headline line.
+
+    Called after EVERY completed stage so a harness timeout at any point
+    still leaves the latest complete picture on stdout. Once the flagship
+    search number exists the headline metric switches to it (the NAS search
+    step is what the reference framework is FOR); the train/inference
+    numbers ride along as extra keys either way.
+    """
+    line = None
+    tr = results.get("train_bf16") or results.get("train_f32")
+    se = results.get("search_fused")
+    comparable = hw == 256  # anchors were measured at the real workload shape
+    if se and "steps_per_sec" in se:
+        line = {
+            "metric": "senas_search_steps_per_sec",
+            "value": round(se["steps_per_sec"], 3),
+            "unit": "steps/sec/chip",
+            "vs_baseline": (round(se["steps_per_sec"]
+                                  / TORCH_REFERENCE_SEARCH_STEPS_PER_SEC, 1)
+                            if comparable else None),
+        }
+    elif tr and "images_per_sec" in tr:
+        line = {
+            "metric": "senas_fixed_train_images_per_sec",
+            "value": round(tr["images_per_sec"], 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": (round(tr["images_per_sec"]
+                                  / TORCH_REFERENCE_TRAIN_IMG_PER_SEC, 2)
+                            if comparable else None),
+        }
+    if line is None:
+        return
+    if tr and "images_per_sec" in tr:
+        line["train_images_per_sec"] = round(tr["images_per_sec"], 2)
+        if comparable:
+            line["train_vs_torch_cpu"] = round(
+                tr["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC, 1)
+        if tr.get("mfu"):
+            line["train_mfu"] = round(tr["mfu"], 4)
+    inf = results.get("inference_bf16")
+    if inf and "batch1_p50_ms" in inf:
+        line["inference_batch1_p50_ms"] = round(inf["batch1_p50_ms"], 2)
+        line["inference_batch64_img_per_sec"] = round(
+            inf.get("batch64_images_per_sec", 0.0), 1)
+    results["headline"] = line
+    print(json.dumps(line), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes / few steps (CI smoke)")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("SENAS_BENCH_BUDGET", 3000)),
+                    help="soft wall-clock budget (s): stages are skipped "
+                         "cleanly once exceeded; rc stays 0")
     ap.add_argument("--with-naive-search", action="store_true",
                     help="also time the naive per-edge search cell")
     ap.add_argument("--with-pallas", action="store_true",
                     help="benchmark the Pallas fused NORM-conv prototype")
     ap.add_argument("--pallas-only", action="store_true",
                     help="run ONLY the pallas-vs-XLA comparison")
+    ap.add_argument("--input-pipeline", action="store_true",
+                    help="run ONLY the host data-loader benchmark")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch-sweep", type=str, default=None,
                     help="comma list of batch sizes: also time fixed-train "
                          "bf16 at each (throughput scaling table)")
     args = ap.parse_args()
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
 
     if args.pallas_only:
         steps = args.steps or 20
@@ -316,115 +446,111 @@ def main():
                           "vs_baseline": round(res["speedup"], 3)}))
         return
 
+    if args.input_pipeline:
+        res = bench_input_pipeline(12, 256)
+        log(f"input pipeline: {res}")
+        print(json.dumps({"metric": "input_pipeline_images_per_sec",
+                          "value": round(res.get("prefetch_img_per_sec", 0), 1),
+                          "unit": "images/sec", "vs_baseline": None,
+                          **{k: round(v, 1) for k, v in res.items()
+                             if isinstance(v, float)}}))
+        return
+
     platform = jax.devices()[0].platform
     quick = args.quick or platform == "cpu"
     hw = 64 if quick else 256
     steps = args.steps or (3 if quick else 20)
     train_bs, search_bs = 12, 8
 
-    log(f"bench: platform={platform} device={jax.devices()[0]} hw={hw} steps={steps}")
+    log(f"bench: platform={platform} device={jax.devices()[0]} hw={hw} "
+        f"steps={steps} budget={args.budget:.0f}s")
     results = {"platform": platform, "device": str(jax.devices()[0]), "hw": hw,
                "steps_timed": steps}
 
-    log("fixed-train fp32 ...")
-    results["train_f32"] = bench_fixed_train(train_bs, hw, steps, dtype=None)
-    log(f"  {results['train_f32']['images_per_sec']:.2f} img/s "
-        f"({results['train_f32']['sec_per_step']*1e3:.1f} ms/step, "
-        f"compile {results['train_f32']['compile_s']:.1f}s)")
+    def stage(key, desc, fn, needed: float):
+        """Run one stage with budget guard + error isolation; persist and
+        re-emit the cumulative headline the moment it completes."""
+        if remaining() < needed:
+            results[key] = {"skipped": f"budget: {remaining():.0f}s left, "
+                                       f"stage needs ~{needed:.0f}s"}
+            log(f"SKIP {desc}: {results[key]['skipped']}")
+            _write_results(results)
+            return
+        log(f"{desc} ...")
+        try:
+            results[key] = fn()
+            log(f"  done in stage; {json.dumps(results[key], default=str)[:200]}")
+        except Exception as e:
+            results[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+            log(f"  {desc} FAILED: {results[key]['error'][:200]}")
+        _emit_headline(results, hw, train_bs)
+        _write_results(results)
 
-    log("fixed-train bf16 ...")
-    results["train_bf16"] = bench_fixed_train(train_bs, hw, steps,
-                                              dtype=jnp.bfloat16)
-    log(f"  {results['train_bf16']['images_per_sec']:.2f} img/s "
-        f"({results['train_bf16']['sec_per_step']*1e3:.1f} ms/step)")
+    # Stage order puts the two headline workloads first: bf16 train (fast
+    # compile) then the flagship search step (the big compile — the round-1
+    # driver capture died here, so it goes SECOND, not last).
+    stage("train_bf16", "fixed-train bf16",
+          lambda: dict(bench_fixed_train(train_bs, hw, steps,
+                                         dtype=jnp.bfloat16), dtype="bf16"),
+          needed=0)
 
-    # Emit the headline + persist NOW: the search stage compiles for
-    # ~7 minutes; a harness-side timeout must not lose the train numbers.
-    headline = results["train_bf16"] if (
-        results["train_bf16"]["images_per_sec"]
-        > results["train_f32"]["images_per_sec"]) else results["train_f32"]
-    results["headline"] = {
-        "metric": "senas_fixed_train_images_per_sec",
-        "value": round(headline["images_per_sec"], 3),
-        "unit": "images/sec/chip",
-        "workload": f"senas_node_4 c=32 depth=5 batch={train_bs} {hw}x{hw} dice_ce+sgd",
-        "baseline": TORCH_REFERENCE_TRAIN_IMG_PER_SEC,
-        "baseline_desc": "torch reference, same workload, this host's CPU "
-                         "(no reference-published numbers exist; BASELINE.md)",
-    }
-    _write_results(results)
-    vs = (headline["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC
-          if hw == 256 else None)  # only comparable at the real workload shape
-    print(json.dumps({
-        "metric": "senas_fixed_train_images_per_sec",
-        "value": round(headline["images_per_sec"], 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }), flush=True)
+    def _search():
+        r = dict(bench_search(search_bs, hw, steps, fused=True,
+                              dtype=jnp.bfloat16), dtype="bf16")
+        if hw == 256:
+            r["vs_torch_cpu_baseline"] = round(
+                r["steps_per_sec"] / TORCH_REFERENCE_SEARCH_STEPS_PER_SEC, 1)
+        return r
 
-    log("inference (eval forward, bf16) ...")
-    try:
-        results["inference_bf16"] = bench_inference(hw, steps,
-                                                    dtype=jnp.bfloat16)
-        log(f"  {results['inference_bf16']}")
-    except Exception as e:
-        results["inference_bf16"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-        log(f"  inference FAILED: {e}")
-    _write_results(results)
+    # needed=60: always attempt unless the budget is essentially gone — a
+    # warm persistent cache turns the 6-15 min compile into seconds.
+    stage("search_fused", "supernet search (fused cell, bf16)", _search,
+          needed=60)
 
-    log("supernet search (fused cell, bf16) ...")
-    results["search_fused"] = bench_search(search_bs, hw, steps, fused=True,
-                                           dtype=jnp.bfloat16)
-    if hw == 256:
-        results["search_fused"]["vs_torch_cpu_baseline"] = round(
-            results["search_fused"]["steps_per_sec"]
-            / TORCH_REFERENCE_SEARCH_STEPS_PER_SEC, 1)
-    log(f"  {results['search_fused']['steps_per_sec']:.3f} steps/s "
-        f"(compile {results['search_fused']['compile_s']:.1f}s)")
+    stage("inference_bf16", "inference (eval forward, bf16)",
+          lambda: bench_inference(hw, steps, dtype=jnp.bfloat16), needed=90)
+
+    stage("input_pipeline", "host input pipeline (full augmentation)",
+          lambda: bench_input_pipeline(train_bs, hw), needed=30)
+
+    stage("train_f32", "fixed-train fp32",
+          lambda: dict(bench_fixed_train(train_bs, hw, steps, dtype=None),
+                       dtype="f32"),
+          needed=150)
 
     if args.with_naive_search:
-        log("supernet search (naive cell) ...")
-        try:
-            results["search_naive"] = bench_search(search_bs, hw, steps,
-                                                   fused=False)
-            results["fused_speedup"] = (
-                results["search_naive"]["sec_per_step"]
-                / results["search_fused"]["sec_per_step"])
-            log(f"  fused speedup: {results['fused_speedup']:.2f}x")
-        except Exception as e:  # the naive graph can exceed compiler limits
-            results["search_naive"] = {"error": f"{type(e).__name__}: {e}"[:500]}
-            log(f"  naive cell FAILED: {results['search_naive']['error'][:160]}")
+        def _naive():
+            r = bench_search(search_bs, hw, steps, fused=False)
+            if "sec_per_step" in results.get("search_fused", {}):
+                results["fused_speedup"] = (
+                    r["sec_per_step"]
+                    / results["search_fused"]["sec_per_step"])
+            return r
+        stage("search_naive", "supernet search (naive cell)", _naive,
+              needed=600)
 
     if args.batch_sweep:
         results["batch_sweep"] = {}
         for b in [int(s) for s in args.batch_sweep.split(",")]:
-            log(f"fixed-train bf16 batch {b} ...")
-            try:
-                r = bench_fixed_train(b, hw, steps, dtype=jnp.bfloat16)
-                results["batch_sweep"][str(b)] = r
-                log(f"  {r['images_per_sec']:.1f} img/s "
-                    f"({r['sec_per_step']*1e3:.1f} ms/step)")
-            except Exception as e:
-                results["batch_sweep"][str(b)] = {
-                    "error": f"{type(e).__name__}: {e}"[:300]}
-                log(f"  batch {b} FAILED: {e}")
-            _write_results(results)
+            stage_key = f"batch_{b}"
+            stage(stage_key, f"fixed-train bf16 batch {b}",
+                  lambda b=b: dict(bench_fixed_train(b, hw, steps,
+                                                     dtype=jnp.bfloat16),
+                                   dtype="bf16"),
+                  needed=120)
+            if stage_key in results:
+                results["batch_sweep"][str(b)] = results.pop(stage_key)
+        _write_results(results)
 
     if args.with_pallas:
-        log("pallas fused NORM convs vs XLA ...")
-        try:
-            results["pallas_norm_convs"] = bench_pallas_norm_convs(steps)
-            log(f"  pallas {results['pallas_norm_convs']['pallas_ms']:.2f} ms "
-                f"vs xla {results['pallas_norm_convs']['xla_ms']:.2f} ms "
-                f"({results['pallas_norm_convs']['speedup']:.2f}x, max err "
-                f"{results['pallas_norm_convs']['max_abs_err']:.2e})")
-        except Exception as e:
-            results["pallas_norm_convs"] = {
-                "error": f"{type(e).__name__}: {e}"[:500]}
-            log(f"  pallas FAILED: {results['pallas_norm_convs']['error'][:160]}")
+        stage("pallas_norm_convs", "pallas fused NORM convs vs XLA",
+              lambda: bench_pallas_norm_convs(steps), needed=120)
 
+    # final cumulative headline (repeat so it is the LAST stdout line too)
+    _emit_headline(results, hw, train_bs)
     _write_results(results)
-    log("bench complete")
+    log(f"bench complete in {time.monotonic() - t_start:.0f}s "
+        f"(budget {args.budget:.0f}s)")
 
 
 def _write_results(results):

@@ -101,13 +101,22 @@ class DataLoader:
 
     def __init__(self, dataset: SegmentationDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
-                 indices: Optional[List[int]] = None, seed: int = 0):
+                 indices: Optional[List[int]] = None, seed: int = 0,
+                 workers: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.indices = list(indices) if indices is not None else list(range(len(dataset)))
         self._rng = np.random.RandomState(seed)
+        # Per-sample transform parallelism (the reference's n_workers DataLoader
+        # processes, as threads: cv2/numpy release the GIL for the heavy ops).
+        # Default: SENAS_LOADER_WORKERS env, else min(4, cores); 0/1 = serial.
+        if workers is None:
+            workers = int(os.environ.get(
+                "SENAS_LOADER_WORKERS", min(4, os.cpu_count() or 1)))
+        self.workers = workers
+        self._pool = None
 
     def __len__(self):
         n = len(self.indices)
@@ -119,19 +128,30 @@ class DataLoader:
         order = list(self.indices)
         if self.shuffle:
             self._rng.shuffle(order)
+        fetch = self.dataset.__getitem__
+        pool = self._get_pool()
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 return
-            images, labels = [], []
-            for i in chunk:
-                img, lab = self.dataset[i]
-                images.append(img)
-                labels.append(lab)
+            if pool is not None:
+                samples = list(pool.map(fetch, chunk))
+            else:
+                samples = [fetch(i) for i in chunk]
             yield {
-                "image": np.stack(images).astype(np.float32),
-                "label": np.stack(labels).astype(np.int32),
+                "image": np.stack([s[0] for s in samples]).astype(np.float32),
+                "label": np.stack([s[1] for s in samples]).astype(np.int32),
             }
+
+    def _get_pool(self):
+        if self.workers <= 1:
+            return None
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.workers,
+                thread_name_prefix="senas-loader")
+        return self._pool
 
     # NOTE on trailing partial batches: the reference evaluates the true
     # partial batch (no padding), and the batch-aggregated dice loss is not

@@ -20,19 +20,73 @@ from senas_tpu.ops.primitives import (BasicBlock, build_norm, conv2d,
                                       kaiming_normal, max_pool_3x3, relu)
 
 
+class Bottleneck(nn.Module):
+    """torchvision-style Bottleneck (1x1 -> 3x3(groups) -> 1x1, expansion 4).
+
+    Used by the smp resnet50/101/152 and resnext* encoder entries
+    (reference segmentation_models_pytorch/encoders/resnet.py:158-280).
+    Like BasicBlock, returns the pre-activation sum; the encoder applies
+    the trailing ReLU.
+    """
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    width_per_group: int = 64
+    use_downsample: bool = False
+    dtype: Optional[Any] = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        residual = x
+        width = int(self.planes * (self.width_per_group / 64.0)) * self.groups
+        w1 = self.param("conv1", kaiming_normal,
+                        (1, 1, x.shape[-1], width), jnp.float32)
+        out = conv2d(x, w1.astype(x.dtype))
+        out = build_norm(self.dtype, name="bn1")(out, use_running_average=not train)
+        out = relu(out)
+        w2 = self.param("conv2", kaiming_normal,
+                        (3, 3, width // self.groups, width), jnp.float32)
+        out = conv2d(out, w2.astype(out.dtype), stride=self.stride,
+                     dilation=self.dilation, groups=self.groups)
+        out = build_norm(self.dtype, name="bn2")(out, use_running_average=not train)
+        out = relu(out)
+        planes_out = self.planes * self.expansion
+        w3 = self.param("conv3", kaiming_normal,
+                        (1, 1, width, planes_out), jnp.float32)
+        out = conv2d(out, w3.astype(out.dtype))
+        out = build_norm(self.dtype, name="bn3")(out, use_running_average=not train)
+        if self.use_downsample:
+            wd = self.param("down_conv", kaiming_normal,
+                            (1, 1, x.shape[-1], planes_out), jnp.float32)
+            residual = conv2d(x, wd.astype(x.dtype), stride=self.stride)
+            residual = build_norm(self.dtype, name="down_bn")(
+                residual, use_running_average=not train)
+        return out + residual
+
+
 class ResNetEncoder(nn.Module):
     layers: Sequence[int]          # blocks per stage, e.g. (1,1,1,1)
     depth: int = 5                 # number of downsampling stages used
     base_width: int = 64
+    block: str = "basic"           # "basic" | "bottleneck"
+    groups: int = 1                # ResNeXt cardinality (bottleneck only)
+    width_per_group: int = 64      # ResNeXt width (bottleneck only)
     # dilate_last replaces the final stage's stride with dilation 2
     # (smp encoder.make_dilated for output_stride=16, used by DeepLabV3+)
     dilate_last: bool = False
     dtype: Optional[Any] = None
 
-    # channel plan per layer-group (BasicBlock expansion = 1)
+    # channel plan per layer-group (expansion 1 for basic, 4 for bottleneck)
     @property
     def out_channels(self) -> Tuple[int, ...]:
-        return (3, 64, 64, 128, 256, 512)[: self.depth + 1]
+        e = 1 if self.block == "basic" else Bottleneck.expansion
+        return (3, 64, 64 * e, 128 * e, 256 * e, 512 * e)[: self.depth + 1]
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -61,10 +115,18 @@ class ResNetEncoder(nn.Module):
             planes = widths[gi]
             for b in range(self.layers[gi]):
                 s = stride if b == 0 else 1
-                need_ds = s != 1 or x.shape[-1] != planes
-                x = BasicBlock(planes, stride=s, dilation=dilation,
-                               use_downsample=need_ds,
-                               dtype=self.dtype, name=f"layer{gi + 1}_{b}")(x, train)
+                if self.block == "bottleneck":
+                    need_ds = s != 1 or x.shape[-1] != planes * Bottleneck.expansion
+                    x = Bottleneck(planes, stride=s, dilation=dilation,
+                                   groups=self.groups,
+                                   width_per_group=self.width_per_group,
+                                   use_downsample=need_ds, dtype=self.dtype,
+                                   name=f"layer{gi + 1}_{b}")(x, train)
+                else:
+                    need_ds = s != 1 or x.shape[-1] != planes
+                    x = BasicBlock(planes, stride=s, dilation=dilation,
+                                   use_downsample=need_ds,
+                                   dtype=self.dtype, name=f"layer{gi + 1}_{b}")(x, train)
                 x = relu(x)
             features.append(x)
         return features
@@ -74,15 +136,30 @@ _ENCODERS = {
     "resnet10": {"layers": (1, 1, 1, 1)},
     "resnet18": {"layers": (2, 2, 2, 2)},
     "resnet34": {"layers": (3, 4, 6, 3)},
+    # Bottleneck family (encoders/resnet.py:158-280)
+    "resnet50": {"layers": (3, 4, 6, 3), "block": "bottleneck"},
+    "resnet101": {"layers": (3, 4, 23, 3), "block": "bottleneck"},
+    "resnet152": {"layers": (3, 8, 36, 3), "block": "bottleneck"},
+    "resnext50_32x4d": {"layers": (3, 4, 6, 3), "block": "bottleneck",
+                        "groups": 32, "width_per_group": 4},
+    "resnext101_32x4d": {"layers": (3, 4, 23, 3), "block": "bottleneck",
+                         "groups": 32, "width_per_group": 4},
+    "resnext101_32x8d": {"layers": (3, 4, 23, 3), "block": "bottleneck",
+                         "groups": 32, "width_per_group": 8},
+    "resnext101_32x16d": {"layers": (3, 4, 23, 3), "block": "bottleneck",
+                          "groups": 32, "width_per_group": 16},
+    "resnext101_32x32d": {"layers": (3, 4, 23, 3), "block": "bottleneck",
+                          "groups": 32, "width_per_group": 32},
+    "resnext101_32x48d": {"layers": (3, 4, 23, 3), "block": "bottleneck",
+                          "groups": 32, "width_per_group": 48},
 }
 
 
 def get_encoder(name: str, depth: int = 5, dtype=None,
                 dilate_last: bool = False) -> nn.Module:
     if name in _ENCODERS:
-        return ResNetEncoder(layers=_ENCODERS[name]["layers"], depth=depth,
-                             dtype=dtype, dilate_last=dilate_last,
-                             name="encoder")
+        return ResNetEncoder(depth=depth, dtype=dtype, dilate_last=dilate_last,
+                             name="encoder", **_ENCODERS[name])
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
     from senas_tpu.models.encoders_families import FAMILY_ENCODERS
     if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS:
@@ -102,5 +179,20 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
                    f"{sorted(_ENCODERS) + sorted(_E) + sorted(FAMILY_ENCODERS)}")
 
 
-def encoder_out_channels(name: str, depth: int = 5) -> Tuple[int, ...]:
-    return (3, 64, 64, 128, 256, 512)[: depth + 1]
+def encoder_out_channels(name: str, depth: int = 5,
+                         in_channels: int = 3) -> Tuple[int, ...]:
+    """Per-stage channel pyramid of the named encoder.
+
+    The smp contract (`params["out_channels"]`, encoders/resnet.py:135 etc.)
+    as actually produced by the module: derived by abstract evaluation of the
+    encoder forward (zero FLOPs), so it is correct for every registered
+    family instead of hardcoding the resnet tuple.
+    """
+    import jax
+
+    enc = get_encoder(name, depth=depth)
+    x = jax.ShapeDtypeStruct((1, 256, 256, in_channels), jnp.float32)
+    feats = jax.eval_shape(
+        lambda xs: enc.init_with_output(
+            {"params": jax.random.PRNGKey(0)}, xs, False)[0], x)
+    return tuple(int(f.shape[-1]) for f in feats)

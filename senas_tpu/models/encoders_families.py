@@ -60,10 +60,15 @@ def _conv(x, w, stride=1, groups: int = 1, padding=None):
         feature_group_count=groups)
 
 
-def _max_pool(x, k: int = 3, stride: int = 2, pad: int = 1):
+def _max_pool(x, k: int = 3, stride: int = 2, pad=1):
+    """MaxPool2d; `pad` is an int (symmetric) or (lo, hi) tuple.
+
+    pad=(0, 1) reproduces torch's ceil_mode=True window alignment for even
+    inputs (windows anchored at 0, the trailing partial window padded)."""
+    lo, hi = (pad, pad) if isinstance(pad, int) else pad
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, k, k, 1), (1, stride, stride, 1),
-        ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        ((0, 0), (lo, hi), (lo, hi), (0, 0)))
 
 
 def _avg_pool_same(x, k: int = 3):
@@ -201,7 +206,10 @@ class SENetEncoder(nn.Module):
             if len(features) > self.depth:
                 break
             if li == 0:
-                x = _max_pool(x, 3, 2, 1)
+                # pretrainedmodels SENet: MaxPool2d(3, stride=2,
+                # ceil_mode=True) — pad 0 + trailing partial window, i.e.
+                # asymmetric (0, 1) padding, NOT symmetric pad 1
+                x = _max_pool(x, 3, 2, (0, 1))
             for b in range(n_blocks):
                 stride = 2 if (li > 0 and b == 0) else 1
                 # layer1 always uses a 1x1 downsample (pretrainedmodels
@@ -226,13 +234,17 @@ class _SeparableConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from senas_tpu.ops.primitives import conv2d
+
         c_in = x.shape[-1]
         dw = self.param("depthwise", kaiming_normal,
                         (self.kernel, self.kernel, 1, c_in), jnp.float32)
-        x = _conv(x, dw.astype(x.dtype), groups=c_in)
+        # primitives.conv2d so the DENSE_DEPTHWISE_MAX_CHANNELS block-diagonal
+        # MXU rewrite applies uniformly (same padding: k//2 symmetric)
+        x = conv2d(x, dw.astype(x.dtype), groups=c_in)
         pw = self.param("pointwise", kaiming_normal, (1, 1, c_in, self.c_out),
                         jnp.float32)
-        return _conv(x, pw.astype(x.dtype), padding=(0, 0))
+        return conv2d(x, pw.astype(x.dtype))
 
 
 class _XceptionBlock(nn.Module):

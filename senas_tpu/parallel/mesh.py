@@ -32,6 +32,61 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per process before any jax use.
+
+    On a multi-host TPU slice (or with SENAS_COORDINATOR/JAX_COORDINATOR
+    env set), runs `jax.distributed.initialize` so `jax.devices()` returns
+    the GLOBAL device set and the mesh layer below works unchanged —
+    `make_mesh()` then spans all hosts and GSPMD rides ICI/DCN for the
+    collectives. Single-process (this environment, and the reference's
+    single-host scope) is a no-op.
+
+    Explicit args override the environment. On Cloud TPU the arguments can
+    all be None (JAX autodetects via the metadata server).
+    """
+    import os
+
+    coord = coordinator_address or os.environ.get(
+        "SENAS_COORDINATOR") or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes if num_processes is not None else (
+        int(os.environ["SENAS_NUM_PROCESSES"])
+        if "SENAS_NUM_PROCESSES" in os.environ else None)
+    pid = process_id if process_id is not None else (
+        int(os.environ["SENAS_PROCESS_ID"])
+        if "SENAS_PROCESS_ID" in os.environ else None)
+    if coord is None and nproc is None:
+        return  # single-process
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+
+
+def assemble_global_batch(mesh: Mesh, host_batch: Dict[str, Any],
+                          spatial: bool = True) -> Dict[str, Any]:
+    """Per-process batch assembly for multi-host data loading.
+
+    Each process loads only its local shard of the global batch (global
+    batch size = local batch size x process_count); this stitches the local
+    numpy arrays into global jax.Arrays with the standard data(+spatial)
+    sharding via `jax.make_array_from_process_local_data`. Single-process
+    it is equivalent to `shard_batch`.
+    """
+    nproc = jax.process_count()
+    out = {}
+    for k, v in host_batch.items():
+        if v.ndim >= 4:
+            s = batch_sharding(mesh, spatial)
+        elif v.ndim == 3:
+            s = label_sharding(mesh, spatial)
+        else:
+            s = NamedSharding(mesh, P("data"))
+        global_shape = (v.shape[0] * nproc,) + tuple(v.shape[1:])
+        out[k] = jax.make_array_from_process_local_data(s, v, global_shape)
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
     """Logical mesh description. data*spatial must equal the device count."""

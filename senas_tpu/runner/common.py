@@ -11,7 +11,12 @@ import numpy as np
 
 from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
 from senas_tpu.train.metrics import SegmentationMetric, AverageMeter
+from senas_tpu.utils.compile_cache import enable as _enable_compile_cache
 
+# All runner CLIs share the persistent compile cache: the search-step
+# executable is ~100 MB / 6-15 min of XLA time; resume/re-runs hit the disk
+# cache instead (jax.config path — env vars don't work here, see the module).
+_enable_compile_cache()
 
 DEFAULT_DATA_ROOT = os.environ.get("SENAS_DATA_ROOT", "../data/imgseg/")
 DEFAULT_LOG_ROOT = os.environ.get("SENAS_LOG_ROOT", "../logs")

@@ -17,10 +17,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the supernet graphs are large; caching makes
-# repeat test runs near-instant.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# repeat test runs near-instant. Must go through jax.config — env vars are
+# bound before user code runs on this machine (utils/compile_cache.py).
+from senas_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             "/tmp/jax_compile_cache"), min_compile_secs=5)
 
 import numpy as np
 import pytest

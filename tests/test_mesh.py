@@ -195,3 +195,45 @@ def test_sharded_search_step_matches_single_device():
     # weights updated and still replicated
     leaves = jax.tree.leaves(out_state.params)
     assert all(len(x.sharding.device_set) == 8 for x in leaves)
+
+
+def test_assemble_global_batch_single_process(setup):
+    """Multi-host batch assembly (make_array_from_process_local_data):
+    single-process it must equal shard_batch exactly, with the same
+    shardings, and drive the sharded step to the same result."""
+    from senas_tpu.parallel.mesh import assemble_global_batch
+
+    model, variables, tx, step, batch_np, ref_state, ref_metrics = setup
+    mesh = make_mesh(jax.devices()[:8], MeshSpec(data=8, spatial=1))
+    assembled = assemble_global_batch(mesh, batch_np, spatial=False)
+    direct = shard_batch(mesh, batch_np, spatial=False)
+    for k in batch_np:
+        assert assembled[k].shape == direct[k].shape
+        assert assembled[k].sharding == direct[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(assembled[k]),
+                                      np.asarray(direct[k]))
+    state = place_state(mesh, FixedTrainState.create(variables, tx))
+    _, metrics = step(state, assembled)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    """No coordinator env => no-op (must not touch jax.distributed)."""
+    from senas_tpu.parallel import mesh as M
+
+    for var in ("SENAS_COORDINATOR", "JAX_COORDINATOR_ADDRESS",
+                "SENAS_NUM_PROCESSES", "SENAS_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    called = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.update(kw))
+    M.initialize_distributed()
+    assert called == {}
+    # with env set, it forwards the coordinates
+    monkeypatch.setenv("SENAS_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("SENAS_NUM_PROCESSES", "4")
+    monkeypatch.setenv("SENAS_PROCESS_ID", "2")
+    M.initialize_distributed()
+    assert called == {"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}

@@ -16,7 +16,7 @@ def _run(args, timeout=240):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
     proc = subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
-                          capture_output=True, text=True)
+                          capture_output=True, text=True, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     return proc
 

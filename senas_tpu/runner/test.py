@@ -93,7 +93,26 @@ class TestRunner:
         metric = SegmentationMetric(self.n_classes)
         loss_meter = AverageMeter()
         img_idx = 0
+        from concurrent.futures import ThreadPoolExecutor
+
         from PIL import Image
+
+        def write_images(batch, preds, img_idx):
+            # preds arrive as device uint8 (4x smaller transfer); PIL/IO
+            # runs on this worker thread while the device computes the next
+            # batch (testing_model.py:172-190 did this synchronously)
+            for i in range(preds.shape[0]):
+                scale = 255 // max(1, self.n_classes - 1)
+                Image.fromarray((preds[i] * scale).astype(np.uint8)).save(
+                    os.path.join(self.image_dir, f"{img_idx + i:05d}.png"))
+            grid = store_images(batch["image"], preds, batch["label"],
+                                self.n_classes)
+            Image.fromarray(grid).save(
+                os.path.join(self.image_dir,
+                             f"grid_{img_idx + preds.shape[0]:05d}.png"))
+
+        writer = ThreadPoolExecutor(max_workers=1) if save_images else None
+        pending = []
         for batch in self.valid_queue:
             out = self._eval(self.state.params, self.state.batch_stats,
                              to_device_batch(batch))
@@ -102,15 +121,13 @@ class TestRunner:
             loss_meter.update(float(out["loss"]), n=batch["image"].shape[0])
             if save_images:
                 preds = np.asarray(out["pred"])
-                for i in range(preds.shape[0]):
-                    scale = 255 // max(1, self.n_classes - 1)
-                    Image.fromarray((preds[i] * scale).astype(np.uint8)).save(
-                        os.path.join(self.image_dir, f"{img_idx:05d}.png"))
-                    img_idx += 1
-                grid = store_images(batch["image"], preds, batch["label"],
-                                    self.n_classes)
-                Image.fromarray(grid).save(
-                    os.path.join(self.image_dir, f"grid_{img_idx:05d}.png"))
+                pending.append(writer.submit(write_images, batch, preds,
+                                             img_idx))
+                img_idx += preds.shape[0]
+        if writer is not None:
+            for f in pending:
+                f.result()
+            writer.shutdown()
         pixacc, miou, dice = metric.get()
         self.logger.info("val loss %f pixAcc %s mIoU %s dice %s",
                          loss_meter.avg, pixacc, miou, dice)

@@ -23,6 +23,7 @@ tests/test_fused_cell.py via parameter translation.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -30,10 +31,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from senas_tpu.ops.primitives import (
+    DENSE_DEPTHWISE_MAX_CHANNELS,
     OpType,
     RectifyBlock,
     RectifyResample,
     ShrinkBlock,
+    _densify_depthwise,
     avg_pool_3x3,
     build_norm,
     conv2d,
@@ -45,6 +48,32 @@ from senas_tpu.ops.primitives import (
     xavier_uniform,
 )
 from senas_tpu.search.cell import MixedOp
+
+# Branch-conv merging (VERDICT r2 #2 structural MFU attack): all parametric
+# branches of a GroupedMixedOp read the SAME input, and with the dense-
+# depthwise rewrite every one of them is a plain conv — so same-geometry
+# kernels can be concatenated on the output-channel axis and run as ONE
+# wider conv (a 3x3 kernel embeds exactly into 5x5 with padding +1; a
+# dilated 5x5 embeds exactly into a dense 13x13). Fewer/wider kernels is
+# precisely what the 425 ms search-step profile asked for (~6400 fusions of
+# 42 us avg). Parameters keep their per-branch names/shapes — merging
+# happens at trace time — so checkpoints, weight translation, and the
+# naive==fused equivalence tests are untouched.
+MERGE_GROUP_CONVS = os.environ.get("SENAS_MERGE_GROUP_CONVS", "1") == "1"
+# Also fold the two dilated 5x5 branches into the merged conv as dense
+# 13x13 taps (6.8x the FLOPs of those branches, on an MXU that is ~94%
+# idle). Off by default until measured.
+MERGE_DILATED = os.environ.get("SENAS_MERGE_DILATED", "0") == "1"
+
+
+def _embed_kernel(kern, k_to: int, dilation: int = 1):
+    """Exactly embed a [k,k,I,O] (optionally dilated) kernel into a dense
+    [k_to,k_to,I,O] dilation-1 kernel (centered; zero elsewhere)."""
+    k = kern.shape[0]
+    dk = dilation * (k - 1) + 1
+    off = (k_to - dk) // 2
+    out = jnp.zeros((k_to, k_to) + kern.shape[2:], kern.dtype)
+    return out.at[off:off + dk:dilation, off:off + dk:dilation].set(kern)
 
 
 class GroupedMixedOp(nn.Module):
@@ -70,6 +99,30 @@ class GroupedMixedOp(nn.Module):
         def grouped_bn(t, name):
             return build_norm(self.dtype, name=name)(t, use_running_average=not train)
 
+        def se_epilogue(name, out):
+            """out: [b,oh,ow,E*P] post-BN; per-edge squeeze-excite."""
+            mid = P // 16 if P > 16 else 1
+            y = jnp.mean(out.reshape(b, oh, ow, E, P), axis=(1, 2))  # [B,E,P]
+            w1 = self.param(f"{name}_se1", xavier_uniform,
+                            (E, P, mid), jnp.float32).astype(out.dtype)
+            w2 = self.param(f"{name}_se2", xavier_uniform,
+                            (E, mid, P), jnp.float32).astype(out.dtype)
+            y = relu(jnp.einsum("bep,epm->bem", y, w1))
+            y = nn.sigmoid(jnp.einsum("bem,emp->bep", y, w2))
+            return (out.reshape(b, oh, ow, E, P) * y[:, None, None]).reshape(
+                b, oh, ow, E * P)
+
+        def dw_epilogue(name, out):
+            """out: [b,oh,ow,C*E] raw depthwise conv output."""
+            out = grouped_bn(out, f"{name}_dbn")
+            out = relu(out)
+            out = out.reshape(b, oh, ow, C, E)
+            pkern = self.param(f"{name}_pkernel", kaiming_normal,
+                               (E, C, P), jnp.float32).astype(x.dtype)
+            out = jnp.einsum("bhwce,ecp->bhwep", out, pkern)
+            out = grouped_bn(out.reshape(b, oh, ow, E * P), f"{name}_pbn")
+            return out.reshape(b, oh, ow, E, P)
+
         def conv_branch(name, k, dilation, with_se):
             kern = self.param(f"{name}_kernel", kaiming_normal,
                               (k, k, C, E * P), jnp.float32).astype(x.dtype)
@@ -80,16 +133,7 @@ class GroupedMixedOp(nn.Module):
                 out = conv2d(x, kern, stride=stride, dilation=dilation)
             out = grouped_bn(out, f"{name}_bn")
             if with_se:
-                mid = P // 16 if P > 16 else 1
-                y = jnp.mean(out.reshape(b, oh, ow, E, P), axis=(1, 2))  # [B,E,P]
-                w1 = self.param(f"{name}_se1", xavier_uniform,
-                                (E, P, mid), jnp.float32).astype(out.dtype)
-                w2 = self.param(f"{name}_se2", xavier_uniform,
-                                (E, mid, P), jnp.float32).astype(out.dtype)
-                y = relu(jnp.einsum("bep,epm->bem", y, w1))
-                y = nn.sigmoid(jnp.einsum("bem,emp->bep", y, w2))
-                out = (out.reshape(b, oh, ow, E, P) * y[:, None, None]).reshape(
-                    b, oh, ow, E * P)
+                out = se_epilogue(name, out)
             return out.reshape(b, oh, ow, E, P)
 
         def depsep_branch(name, k):
@@ -101,14 +145,7 @@ class GroupedMixedOp(nn.Module):
                                        groups=C)
             else:
                 out = conv2d(x, dkern, stride=stride, groups=C)
-            out = grouped_bn(out, f"{name}_dbn")
-            out = relu(out)
-            out = out.reshape(b, oh, ow, C, E)
-            pkern = self.param(f"{name}_pkernel", kaiming_normal,
-                               (E, C, P), jnp.float32).astype(x.dtype)
-            out = jnp.einsum("bhwce,ecp->bhwep", out, pkern)
-            out = grouped_bn(out.reshape(b, oh, ow, E * P), f"{name}_pbn")
-            return out.reshape(b, oh, ow, E, P)
+            return dw_epilogue(name, out)
 
         def adapter_branch(name, base):
             # base: [B,oh,ow,C] (pool/upsample/identity) or None for 'none'
@@ -123,9 +160,57 @@ class GroupedMixedOp(nn.Module):
             out = grouped_bn(out, f"{name}_bn")
             return out.reshape(b, oh, ow, E, P)
 
+        # ---- merged-conv planning (see module docstring / MERGE_GROUP_CONVS)
+        ops = self.op_type.value["ops"]
+        merge = MERGE_GROUP_CONVS and C <= DENSE_DEPTHWISE_MAX_CHANNELS
+        merged_out = {}
+        if merge:
+            K = 13 if MERGE_DILATED else 5
+            plan, parts = [], []
+
+            def collect(name, kern, kind, dilation=1):
+                parts.append(_embed_kernel(kern, K, dilation))
+                plan.append((name, kind, kern.shape[-1] if kind != "dw"
+                             else C * E))
+
+            for name in ops:
+                if name in ("conv_3", "se_conv_3"):
+                    kern = self.param(f"{name}_kernel", kaiming_normal,
+                                      (3, 3, C, E * P), jnp.float32).astype(x.dtype)
+                    collect(name, kern, "se" if name == "se_conv_3" else "conv")
+                elif name in ("dil_3_conv_5", "dil_2_conv_5") and MERGE_DILATED:
+                    d = 3 if name == "dil_3_conv_5" else 2
+                    kern = self.param(f"{name}_kernel", kaiming_normal,
+                                      (5, 5, C, E * P), jnp.float32).astype(x.dtype)
+                    collect(name, kern, "conv", dilation=d)
+                elif name in ("dep_sep_conv_3", "dep_sep_conv_5"):
+                    k = 3 if name.endswith("_3") else 5
+                    dkern = self.param(f"{name}_dkernel", kaiming_normal,
+                                       (k, k, 1, C * E), jnp.float32).astype(x.dtype)
+                    collect(name, _densify_depthwise(dkern, C), "dw")
+            if parts:
+                mk = jnp.concatenate(parts, axis=-1)  # [K,K,C,sum(widths)]
+                if transpose:
+                    out = conv_transpose2d(x, mk, stride=2, output_padding=1)
+                else:
+                    out = conv2d(x, mk, stride=stride)
+                start = 0
+                for name, kind, width in plan:
+                    seg = out[..., start:start + width]
+                    start += width
+                    if kind == "dw":
+                        merged_out[name] = dw_epilogue(name, seg)
+                    else:
+                        seg = grouped_bn(seg, f"{name}_bn")
+                        if kind == "se":
+                            seg = se_epilogue(name, seg)
+                        merged_out[name] = seg.reshape(b, oh, ow, E, P)
+
         branches = []
-        for name in self.op_type.value["ops"]:
-            if name == "avg_pool":
+        for name in ops:
+            if name in merged_out:
+                branches.append(merged_out[name])
+            elif name == "avg_pool":
                 branches.append(adapter_branch(name, avg_pool_3x3(x, stride=stride)))
             elif name == "max_pool":
                 branches.append(adapter_branch(name, max_pool_3x3(x, stride=stride)))

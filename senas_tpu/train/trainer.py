@@ -125,7 +125,10 @@ def make_eval_step(apply_fn: Callable, loss_fn: Callable):
         return {
             "loss": loss, "tp": tp, "fp": fp, "fn": fn,
             "acc": mean_pix_accuracy(last, batch["label"]),
-            "pred": jnp.argmax(last, axis=-1),
+            # serving path: class ids fit in uint8 (<=255 classes) — packing
+            # on-device cuts the host transfer 4x vs int32 argmax
+            # (testing_model.py:172-178 consumes these as PNG masks)
+            "pred": jnp.argmax(last, axis=-1).astype(jnp.uint8),
         }
 
     return jax.jit(step)
@@ -145,12 +148,20 @@ class SearchTrainState(struct.PyTreeNode):
     rng: jax.Array  # dropout rng chain, split per step
 
     @classmethod
-    def create(cls, variables, arch, w_tx, a_tx, rng: Optional[jax.Array] = None):
+    def create(cls, variables, arch, w_tx, a_tx, rng: Optional[jax.Array] = None,
+               arch_in_weight_step: bool = True):
+        """arch_in_weight_step must match the make_search_step flag: the
+        reference's model_optimizer is built over model.parameters(), which
+        INCLUDES the seven arch tables (search_arc.py:135,
+        senas_search.py:145-154 nn.Parameter), so the weight optimizer state
+        spans (params, arch) jointly in the default reference mode."""
+        params = variables["params"]
+        w_target = (params, arch) if arch_in_weight_step else params
         return cls(
-            params=variables["params"],
+            params=params,
             batch_stats=variables.get("batch_stats", {}),
             arch=arch,
-            w_opt_state=w_tx.init(variables["params"]),
+            w_opt_state=w_tx.init(w_target),
             a_opt_state=a_tx.init(arch),
             step=jnp.zeros([], jnp.int32),
             rng=rng if rng is not None else jax.random.PRNGKey(0),
@@ -160,7 +171,8 @@ class SearchTrainState(struct.PyTreeNode):
 def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callable,
                      w_tx: optax.GradientTransformation,
                      a_tx: optax.GradientTransformation,
-                     grad_clip: float = 5.0, donate: bool = True):
+                     grad_clip: float = 5.0, donate: bool = True,
+                     arch_in_weight_step: bool = True):
     """Returns jitted step(state, train_batch, val_batch, do_arch) where
     do_arch is STATIC (two cached traces; host flips it at alpha_begin).
 
@@ -168,6 +180,15 @@ def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callab
       1. (if do_arch) first-order DARTS arch update on the val batch —
          forward in train mode, so BN running stats advance, like torch.
       2. weight update on the train batch with the UPDATED arch params.
+
+    arch_in_weight_step=True reproduces a load-bearing reference quirk: its
+    model_optimizer is constructed over model.parameters()
+    (search_arc.py:135), which INCLUDES the seven arch nn.Parameter tables
+    (senas_search.py:145-154) — so every weight step ALSO applies
+    SGD+momentum+weight-decay to the arch params (even before alpha_begin),
+    and clip_grad_norm_ (search_arc.py:282) computes the global norm over
+    weight AND arch gradients jointly. Set False for the "pure" DARTS
+    variant that touches arch only via the Adam step.
     """
 
     def forward_loss(params, batch_stats, arch, batch, dropout_rng):
@@ -194,15 +215,26 @@ def make_search_step(apply_fn: Callable, normalize_fn: Callable, loss_fn: Callab
         else:
             a_loss = jnp.zeros([], jnp.float32)
 
-        (w_loss, (outputs, batch_stats)), w_grads = jax.value_and_grad(
-            lambda p: forward_loss(p, batch_stats, arch, train_batch, w_rng),
-            has_aux=True)(state.params)
+        if arch_in_weight_step:
+            w_target = (state.params, arch)
+            (w_loss, (outputs, batch_stats)), w_grads = jax.value_and_grad(
+                lambda pa: forward_loss(pa[0], batch_stats, pa[1],
+                                        train_batch, w_rng),
+                has_aux=True)(w_target)
+        else:
+            w_target = state.params
+            (w_loss, (outputs, batch_stats)), w_grads = jax.value_and_grad(
+                lambda p: forward_loss(p, batch_stats, arch, train_batch, w_rng),
+                has_aux=True)(w_target)
         if grad_clip and grad_clip > 0:
             w_grads, gnorm = clip_by_global_norm(w_grads, grad_clip)
         else:
             gnorm = global_norm(w_grads)
-        w_updates, w_opt_state = w_tx.update(w_grads, state.w_opt_state, state.params)
-        params = optax.apply_updates(state.params, w_updates)
+        w_updates, w_opt_state = w_tx.update(w_grads, state.w_opt_state, w_target)
+        if arch_in_weight_step:
+            params, arch = optax.apply_updates(w_target, w_updates)
+        else:
+            params = optax.apply_updates(state.params, w_updates)
 
         last = outputs[-1] if isinstance(outputs, (list, tuple)) else outputs
         tp, fp, fn = confusion_counts(last, train_batch["label"])

@@ -54,15 +54,18 @@ from senas_tpu.search.cell import MixedOp
 # depthwise rewrite every one of them is a plain conv — so same-geometry
 # kernels can be concatenated on the output-channel axis and run as ONE
 # wider conv (a 3x3 kernel embeds exactly into 5x5 with padding +1; a
-# dilated 5x5 embeds exactly into a dense 13x13). Fewer/wider kernels is
-# precisely what the 425 ms search-step profile asked for (~6400 fusions of
-# 42 us avg). Parameters keep their per-branch names/shapes — merging
-# happens at trace time — so checkpoints, weight translation, and the
-# naive==fused equivalence tests are untouched.
-MERGE_GROUP_CONVS = os.environ.get("SENAS_MERGE_GROUP_CONVS", "1") == "1"
-# Also fold the two dilated 5x5 branches into the merged conv as dense
-# 13x13 taps (6.8x the FLOPs of those branches, on an MXU that is ~94%
-# idle). Off by default until measured.
+# dilated 5x5 embeds exactly into a dense 13x13). Parameters keep their
+# per-branch names/shapes — merging happens at trace time — so checkpoints,
+# weight translation, and the naive==fused equivalence tests are untouched.
+#
+# MEASURED NEGATIVE (2026-08-17, v5e, keep-the-winner): full bilevel search
+# step 433 ms (separate convs) vs 456 ms (merged 5x5) — XLA already
+# schedules the separate branch convs well, and the output slicing +
+# per-branch BN/SE epilogues on the wide tensor reintroduce copies. The
+# dense-13x13 dilated fold is far worse (cell fwd+bwd 8.4 -> 13.9 ms; the
+# 6.8x FLOP inflation of the dilated branches dominates even a ~94%-idle
+# MXU). Both paths stay implemented + equivalence-tested, default OFF.
+MERGE_GROUP_CONVS = os.environ.get("SENAS_MERGE_GROUP_CONVS", "0") == "1"
 MERGE_DILATED = os.environ.get("SENAS_MERGE_DILATED", "0") == "1"
 
 

@@ -173,3 +173,50 @@ def test_fused_cell_equals_naive_cell(cell_type):
             out_f, out_n = out_f[0], out_n[0]
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("dilated", [False, True])
+@pytest.mark.parametrize("cell_type", ["down", "up"])
+def test_merged_conv_path_equals_unmerged(cell_type, dilated, monkeypatch):
+    """The trace-time branch-conv merging (measured perf negative, kept
+    implemented) must be numerically identical to the per-branch path —
+    same params, same outputs in train and eval modes."""
+    from senas_tpu.search import fused_cell as fc
+
+    M, C, c_out = 3, 8, 8
+    rng = np.random.RandomState(4)
+    if cell_type == "down":
+        in0 = jnp.asarray(rng.randn(2, 16, 16, C).astype(np.float32))
+    else:
+        in0 = jnp.asarray(rng.randn(2, 16, 16, 24).astype(np.float32))
+    in1 = jnp.asarray(rng.randn(2, 8, 8, C).astype(np.float32))
+    k = 9
+    wn = jnp.asarray(rng.rand(k, 6).astype(np.float32))
+    wc = jnp.asarray(rng.rand(k, 6).astype(np.float32))
+    betas = jnp.asarray(rng.rand(k).astype(np.float32))
+
+    cell = FusedSearchCell(M, 1, in0.shape[-1], C, c_out, cell_type)
+    variables = cell.init({"params": jax.random.PRNGKey(2)}, in0, in1, wn, wc,
+                          betas, False)
+
+    monkeypatch.setattr(fc, "MERGE_GROUP_CONVS", False)
+    base_eval = cell.apply(variables, in0, in1, wn, wc, betas, False)
+    base_train, base_mut = cell.apply(variables, in0, in1, wn, wc, betas,
+                                      True, mutable=["batch_stats"])
+
+    monkeypatch.setattr(fc, "MERGE_GROUP_CONVS", True)
+    monkeypatch.setattr(fc, "MERGE_DILATED", dilated)
+    got_eval = cell.apply(variables, in0, in1, wn, wc, betas, False)
+    got_train, got_mut = cell.apply(variables, in0, in1, wn, wc, betas,
+                                    True, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(got_eval), np.asarray(base_eval),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_train), np.asarray(base_train),
+                               rtol=1e-5, atol=1e-6)
+    for (pa, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(got_mut)[0],
+            jax.tree.leaves(base_mut)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))

@@ -162,10 +162,13 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
                              name="encoder", **_ENCODERS[name])
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
     from senas_tpu.models.encoders_families import FAMILY_ENCODERS
-    if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS:
+    from senas_tpu.models.encoders_resnest import RESNEST_ENCODERS
+    if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS \
+            or name in RESNEST_ENCODERS:
         if dilate_last:
             raise ValueError(f"{name!r} does not support dilated mode")
-        entry = EXTRA_ENCODERS.get(name) or FAMILY_ENCODERS[name]
+        entry = (EXTRA_ENCODERS.get(name) or FAMILY_ENCODERS.get(name)
+                 or RESNEST_ENCODERS[name])
         return entry["cls"](depth=depth, dtype=dtype, name="encoder",
                             **entry["kw"])
     if any(name.startswith(f) for f in GATED_FAMILIES):
@@ -175,8 +178,9 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
             "available in this environment; see "
             "senas_tpu/models/encoders_extra.py GATED_FAMILIES")
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS as _E
-    raise KeyError(f"unknown encoder {name!r}; available: "
-                   f"{sorted(_ENCODERS) + sorted(_E) + sorted(FAMILY_ENCODERS)}")
+    raise KeyError(
+        f"unknown encoder {name!r}; available: "
+        f"{sorted(_ENCODERS) + sorted(_E) + sorted(FAMILY_ENCODERS) + sorted(RESNEST_ENCODERS)}")
 
 
 def encoder_out_channels(name: str, depth: int = 5,

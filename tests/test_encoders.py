@@ -34,6 +34,11 @@ CONTRACTS = {
     "resnet101": (3, 64, 256, 512, 1024, 2048),
     "resnext50_32x4d": (3, 64, 256, 512, 1024, 2048),
     "resnext101_32x8d": (3, 64, 256, 512, 1024, 2048),
+    # native ResNeSt family (timm_resnest.py:89-209, de-gated)
+    "timm-resnest14d": (3, 64, 256, 512, 1024, 2048),
+    "timm-resnest101e": (3, 128, 256, 512, 1024, 2048),
+    "timm-resnest50d_4s2x40d": (3, 64, 256, 512, 1024, 2048),
+    "timm-resnest50d_1s4x24d": (3, 64, 256, 512, 1024, 2048),
 }
 
 

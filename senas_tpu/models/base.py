@@ -85,8 +85,28 @@ def upsample_nearest2x(x):
 
 
 def upsample_bilinear(x, factor: int):
+    """Bilinear upsample with torch align_corners=True semantics.
+
+    smp's SegmentationHead uses nn.UpsamplingBilinear2d (heads.py:8), which
+    is interpolate(mode="bilinear", align_corners=True) — NOT the half-pixel
+    convention of jax.image.resize. Caught by the FPN differential-parity
+    test (tests/test_zoo_parity.py); affects every head with upsampling > 1
+    (FPN upsampling=4, PSPNet upsampling=8)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
+    th, tw = h * factor, w * factor
+    if h == 1 and w == 1:
+        return jnp.broadcast_to(x, (b, th, tw, c))
+    ys = jnp.linspace(0.0, h - 1.0, th)
+    xs = jnp.linspace(0.0, w - 1.0, tw)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class SegmentationHead(nn.Module):

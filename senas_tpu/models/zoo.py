@@ -305,7 +305,8 @@ class Conv3x3GNReLU(nn.Module):
         w = self.param("kernel", kaiming_normal, (3, 3, x.shape[-1], self.c_out),
                        jnp.float32)
         x = conv2d(x, w.astype(x.dtype))
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        # epsilon: torch GroupNorm uses 1e-5 (flax default is 1e-6)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
         x = relu(x)
         if self.upsample:
             x = _resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),

@@ -118,22 +118,24 @@ class UnetPlusPlus(nn.Module):
             return UnetDecoderBlock(c_out, self.decoder_attention_type,
                                     dtype=self.dtype, name=f"x_{tag}")
 
+        # out-channel plan per block x_{di}_{li}: out_channels[li] when di==0
+        # else skip_channels[li] (unetplusplus/decoder.py:104-111, keyed by
+        # the CONSTRUCTOR layer index li = di + sweep-layer)
         dense = {}
         for layer_idx in range(len(in_channels) - 1):
             for depth_idx in range(depth - layer_idx):
                 if layer_idx == 0:
-                    out = block(f"{depth_idx}_{depth_idx}", out_channels[depth_idx]
-                                if depth_idx == 0 else skip_channels[depth_idx - 1])(
+                    out = block(f"{depth_idx}_{depth_idx}", out_channels[0]
+                                if depth_idx == 0 else skip_channels[depth_idx])(
                         feats[depth_idx], feats[depth_idx + 1], train)
-                    # note: out_ch for depth_idx>0 rows is skip_channels[layer-1]
                     dense[f"x_{depth_idx}_{depth_idx}"] = out
                 else:
                     dense_l_i = depth_idx + layer_idx
                     cat = [dense[f"x_{idx}_{dense_l_i}"]
                            for idx in range(depth_idx + 1, dense_l_i + 1)]
                     cat = jnp.concatenate(cat + [feats[dense_l_i + 1]], axis=-1)
-                    out_ch = (out_channels[layer_idx] if depth_idx == 0
-                              else skip_channels[layer_idx])
+                    out_ch = (out_channels[dense_l_i] if depth_idx == 0
+                              else skip_channels[dense_l_i])
                     dense[f"x_{depth_idx}_{dense_l_i}"] = block(
                         f"{depth_idx}_{dense_l_i}", out_ch)(
                         dense[f"x_{depth_idx}_{dense_l_i - 1}"], cat, train)
@@ -174,7 +176,12 @@ class PAB(nn.Module):
         bottom = x_bottom.reshape(b, hw, c)
         sp = jnp.einsum("bqc,bkc->bqk", center, top)  # [B,HW,HW]
         sp = jax.nn.softmax(sp.reshape(b, -1), axis=-1).reshape(b, hw, hw)
-        attn = jnp.einsum("bqk,bkc->bqc", sp, bottom).reshape(b, h, w, c)
+        attn = jnp.einsum("bqk,bkc->bqc", sp, bottom)  # [B,HW,C]
+        # reference quirk (manet/decoder.py:34): the [B,HW,C] attention map
+        # is reshaped DIRECTLY to (B,C,H,W) without a transpose — a
+        # scrambling reinterpretation of the buffer. Reproduced here
+        # bug-compatibly: row-major reinterpret then convert to NHWC.
+        attn = attn.reshape(b, c, h, w).transpose(0, 2, 3, 1)
         y = x + attn
         wo = self.param("out", kaiming_normal, (3, 3, c, c), jnp.float32)
         bo = self.param("out_bias", nn.initializers.zeros, (c,), jnp.float32)

@@ -522,7 +522,9 @@ class BasicBlock(nn.Module):
         out = relu(out)
         w2 = self.param("conv2", kaiming_normal,
                         (3, 3, self.planes, self.planes), jnp.float32)
-        out = conv2d(out, w2.astype(out.dtype), stride=1, dilation=1)
+        # dilation applies to BOTH convs: smp's make_dilated patches every
+        # Conv2d in the stage (encoders/_utils.py:48-56), not just the first
+        out = conv2d(out, w2.astype(out.dtype), stride=1, dilation=self.dilation)
         out = build_norm(self.dtype, name="bn2")(out, use_running_average=not train)
         if self.use_downsample:
             wd = self.param("down_conv", kaiming_normal,

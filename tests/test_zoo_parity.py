@@ -372,3 +372,344 @@ def test_fpn_matches_vendored_smp(smp_mods):
 
     out = ours.apply(translated, jnp.asarray(x), False)[-1]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def _load_decoder(subpkg):
+    name = f"smpref.{subpkg}"
+    pkgm = types.ModuleType(name)
+    pkgm.__path__ = [REF + "/" + subpkg]
+    sys.modules[name] = pkgm
+    spec = importlib.util.spec_from_file_location(
+        name + ".decoder", REF + f"/{subpkg}/decoder.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name + ".decoder"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _randomize_bn(*models):
+    with torch.no_grad():
+        for m in models:
+            for mod in m.modules():
+                if isinstance(mod, tnn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+
+
+def _paths_equal(variables, translated):
+    ref_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    got_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(translated)[0]}
+    assert ref_paths == got_paths, (
+        f"missing={sorted(ref_paths - got_paths)[:6]} "
+        f"extra={sorted(got_paths - ref_paths)[:6]}")
+
+
+def test_pspnet_matches_vendored_smp(smp_mods):
+    """PSP pooling pyramid + the x8 align-corners head upsample."""
+    md, heads, _ = smp_mods
+    pdec = _load_decoder("pspnet")
+    from senas_tpu.models.zoo import PSPNet
+
+    torch.manual_seed(3)
+    enc = _ResNet10Encoder()
+    decoder = pdec.PSPDecoder(encoder_channels=(3, 64, 64, 128, 256, 512),
+                              use_batchnorm=True, out_channels=512,
+                              dropout=0.2)
+    head = heads.SegmentationHead(512, 2, kernel_size=3, upsampling=8)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(3)
+    # 192**2 input -> 6x6 bottom features: all PSP pool sizes (1,2,3,6)
+    # divide evenly, the exact-adaptive-pool path on our side
+    x = rs.randn(1, 192, 192, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+
+    ours = PSPNet(classes=2, in_channels=3, encoder_name="resnet10",
+                  encoder_depth=5, psp_out_channels=512, upsampling=8)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), False)
+
+    enc_p, enc_s = _translate_encoder(enc)
+    params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+    for si, blk in enumerate(decoder.psp.blocks):
+        seq = blk.pool[1]  # Conv2dReLU
+        if si == 0:  # pool_size=1: use_batchnorm forced False -> conv bias
+            params[f"psp_{si}"] = {
+                "kernel": _conv(seq[0].weight),
+                "bias": jnp.asarray(seq[0].bias.detach().numpy())}
+        else:
+            p, s = _translate_conv2drelu(seq)
+            params[f"psp_{si}"], stats[f"psp_{si}"] = p, s
+    p, s = _translate_conv2drelu(decoder.conv)
+    params["Conv2dReLU_0"], stats["Conv2dReLU_0"] = p, s
+    params["SegmentationHead_0"] = {
+        "kernel": _conv(head[0].weight),
+        "bias": jnp.asarray(head[0].bias.detach().numpy())}
+    translated = {"params": params, "batch_stats": stats}
+    _paths_equal(variables, translated)
+
+    out = ours.apply(translated, jnp.asarray(x), False)[-1]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_deeplabv3plus_matches_vendored_smp(smp_mods):
+    """ASPP separable convs + dilated encoder stage + align-corners ups."""
+    md, heads, _ = smp_mods
+    ddec = _load_decoder("deeplabv3")
+    from senas_tpu.models.zoo import DeepLabV3Plus
+
+    torch.manual_seed(4)
+    enc = _ResNet10Encoder()
+    # smp make_dilated(output_stride=16): patch EVERY conv of the last stage
+    # (encoders/_utils.py:48-56)
+    for mod in enc.layer4.modules():
+        if isinstance(mod, tnn.Conv2d):
+            mod.stride = (1, 1)
+            mod.dilation = (2, 2)
+            kh = mod.kernel_size[0]
+            mod.padding = ((kh // 2) * 2, (kh // 2) * 2)
+    decoder = ddec.DeepLabV3PlusDecoder(
+        encoder_channels=(3, 64, 64, 128, 256, 512), out_channels=256,
+        atrous_rates=(12, 24, 36), output_stride=16)
+    head = heads.SegmentationHead(256, 2, kernel_size=3, upsampling=4)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+
+    ours = DeepLabV3Plus(classes=2, in_channels=3, encoder_name="resnet10",
+                         encoder_depth=5)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), False)
+
+    def _sep(seq_sep, seq_bn):
+        """smp SeparableConv2d (Sequential dw, pw) + following BN."""
+        p = {"dw": _conv(seq_sep[0].weight), "pw": _conv(seq_sep[1].weight)}
+        bn_p, bn_s = _bn(seq_bn)
+        p["BatchNorm_0"] = bn_p
+        return p, {"BatchNorm_0": bn_s}
+
+    enc_p, enc_s = _translate_encoder(enc)
+    params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+    aspp = decoder.aspp[0]
+    ap, asv = {}, {}
+    p, s = _translate_conv2drelu(aspp.convs[0])
+    ap["conv1x1"], asv["conv1x1"] = p, s
+    for i in range(3):
+        branch = aspp.convs[1 + i]  # ASPPSeparableConv: (SeparableConv2d, BN, ReLU)
+        p, s = _sep(branch[0], branch[1])
+        ap[f"aspp_{i}"], asv[f"aspp_{i}"] = p, s
+    pool = aspp.convs[4]  # (AdaptiveAvgPool, conv, BN, ReLU)
+    p, s = _translate_conv2drelu([pool[1], pool[2]])
+    ap["pool_conv"], asv["pool_conv"] = p, s
+    p, s = _translate_conv2drelu(aspp.project)
+    ap["project"], asv["project"] = p, s
+    params["ASPP_0"], stats["ASPP_0"] = ap, asv
+    p, s = _sep(decoder.aspp[1], decoder.aspp[2])
+    params["aspp_post"], stats["aspp_post"] = p, s
+    p, s = _translate_conv2drelu(decoder.block1)
+    params["highres"], stats["highres"] = p, s
+    p, s = _sep(decoder.block2[0], decoder.block2[1])
+    params["fuse"], stats["fuse"] = p, s
+    params["SegmentationHead_0"] = {
+        "kernel": _conv(head[0].weight),
+        "bias": jnp.asarray(head[0].bias.detach().numpy())}
+    translated = {"params": params, "batch_stats": stats}
+    _paths_equal(variables, translated)
+
+    out = ours.apply(translated, jnp.asarray(x), False)[-1]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_manet_matches_vendored_smp(smp_mods):
+    """PAB global position attention (incl. the reference's scrambled
+    [B,HW,C]->(B,C,H,W) reshape quirk) + MFAB dual-SE fusion blocks."""
+    md, heads, _ = smp_mods
+    mdec = _load_decoder("manet")
+    from senas_tpu.models.zoo import MAnet
+
+    torch.manual_seed(5)
+    enc = _ResNet10Encoder()
+    decoder = mdec.MAnetDecoder(
+        encoder_channels=(3, 64, 64, 128, 256, 512),
+        decoder_channels=(256, 128, 64, 32, 16), n_blocks=5,
+        reduction=16, use_batchnorm=True, pab_channels=64)
+    head = heads.SegmentationHead(16, 2, kernel_size=3)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+
+    ours = MAnet(classes=2, in_channels=3, encoder_name="resnet10",
+                 encoder_depth=5, decoder_channels=(256, 128, 64, 32, 16))
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), False)
+
+    def _cb(mod):  # plain Conv2d with bias
+        return (_conv(mod.weight), jnp.asarray(mod.bias.detach().numpy()))
+
+    enc_p, enc_s = _translate_encoder(enc)
+    params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+    pab = decoder.center
+    pk, pb = _cb(pab.top_conv)
+    ck, cb = _cb(pab.center_conv)
+    bk, bb = _cb(pab.bottom_conv)
+    ok, ob = _cb(pab.out_conv)
+    params["PAB_0"] = {"top": pk, "top_b": pb, "center": ck, "center_b": cb,
+                       "bottom": bk, "bottom_b": bb, "out": ok, "out_bias": ob}
+    for i, blk in enumerate(decoder.blocks):
+        if hasattr(blk, "hl_conv"):  # MFAB
+            p, s = {}, {}
+            p["Conv2dReLU_0"], s["Conv2dReLU_0"] = _translate_conv2drelu(blk.hl_conv[0])
+            p["Conv2dReLU_1"], s["Conv2dReLU_1"] = _translate_conv2drelu(blk.hl_conv[1])
+            for tag, se in (("hl", blk.SE_hl), ("ll", blk.SE_ll)):
+                p[f"{tag}_w1"], p[f"{tag}_b1"] = _cb(se[1])
+                p[f"{tag}_w2"], p[f"{tag}_b2"] = _cb(se[3])
+            p["Conv2dReLU_2"], s["Conv2dReLU_2"] = _translate_conv2drelu(blk.conv1)
+            p["Conv2dReLU_3"], s["Conv2dReLU_3"] = _translate_conv2drelu(blk.conv2)
+        else:  # plain DecoderBlock (no skip)
+            p, s = {}, {}
+            p["Conv2dReLU_0"], s["Conv2dReLU_0"] = _translate_conv2drelu(blk.conv1)
+            p["Conv2dReLU_1"], s["Conv2dReLU_1"] = _translate_conv2drelu(blk.conv2)
+        params[f"dec_{i}"], stats[f"dec_{i}"] = p, s
+    params["SegmentationHead_0"] = {
+        "kernel": _conv(head[0].weight),
+        "bias": jnp.asarray(head[0].bias.detach().numpy())}
+    translated = {"params": params, "batch_stats": stats}
+    _paths_equal(variables, translated)
+
+    out = ours.apply(translated, jnp.asarray(x), False)[-1]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pan_matches_vendored_smp(smp_mods):
+    """FPA pyramid attention + GAU blocks over the dilated encoder."""
+    md, heads, _ = smp_mods
+    pdec = _load_decoder("pan")
+    from senas_tpu.models.zoo import PAN
+
+    torch.manual_seed(6)
+    enc = _ResNet10Encoder()
+    for mod in enc.layer4.modules():  # make_dilated(16)
+        if isinstance(mod, tnn.Conv2d):
+            mod.stride = (1, 1)
+            mod.dilation = (2, 2)
+            kh = mod.kernel_size[0]
+            mod.padding = ((kh // 2) * 2, (kh // 2) * 2)
+    decoder = pdec.PANDecoder(
+        encoder_channels=(3, 64, 64, 128, 256, 512), decoder_channels=32)
+    head = heads.SegmentationHead(32, 2, kernel_size=3, upsampling=4)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(6)
+    # 128^2: the FPA pyramid needs the stride-16 bottom at >=8x8
+    x = rs.randn(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+
+    ours = PAN(classes=2, in_channels=3, encoder_name="resnet10",
+               encoder_depth=5, decoder_channels=32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), False)
+
+    def _cbr(mod):  # pan ConvBnRelu: conv(bias) + BN
+        p = {"kernel": _conv(mod.conv.weight),
+             "bias": jnp.asarray(mod.conv.bias.detach().numpy())}
+        bn_p, bn_s = _bn(mod.bn)
+        p["BatchNorm_0"] = bn_p
+        return p, {"BatchNorm_0": bn_s}
+
+    enc_p, enc_s = _translate_encoder(enc)
+    params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+    fpa = decoder.fpa
+    fp, fs = {}, {}
+    fp["branch1"], fs["branch1"] = _cbr(fpa.branch1[1])
+    fp["mid"], fs["mid"] = _cbr(fpa.mid[0])
+    fp["down1"], fs["down1"] = _cbr(fpa.down1[1])
+    fp["down2"], fs["down2"] = _cbr(fpa.down2[1])
+    fp["down3a"], fs["down3a"] = _cbr(fpa.down3[1])
+    fp["down3b"], fs["down3b"] = _cbr(fpa.down3[2])
+    fp["conv2"], fs["conv2"] = _cbr(fpa.conv2)
+    fp["conv1"], fs["conv1"] = _cbr(fpa.conv1)
+    params["FPABlock_0"], stats["FPABlock_0"] = fp, fs
+    for name, gau in (("gau3", decoder.gau3), ("gau2", decoder.gau2),
+                      ("gau1", decoder.gau1)):
+        gp, gs = {}, {}
+        gp["conv1"], gs["conv1"] = _cbr(gau.conv1[1])
+        gp["conv2"], gs["conv2"] = _cbr(gau.conv2)
+        params[name], stats[name] = gp, gs
+    params["SegmentationHead_0"] = {
+        "kernel": _conv(head[0].weight),
+        "bias": jnp.asarray(head[0].bias.detach().numpy())}
+    translated = {"params": params, "batch_stats": stats}
+    _paths_equal(variables, translated)
+
+    out = ours.apply(translated, jnp.asarray(x), False)[-1]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unetplusplus_matches_vendored_smp(smp_mods):
+    """The dense UNet++ grid: every x_{i}_{j} block translated by key."""
+    md, heads, _ = smp_mods
+    udec = _load_decoder("unetplusplus")
+    from senas_tpu.models.zoo import UnetPlusPlus
+
+    torch.manual_seed(7)
+    enc = _ResNet10Encoder()
+    decoder = udec.UnetPlusPlusDecoder(
+        encoder_channels=(3, 64, 64, 128, 256, 512),
+        decoder_channels=(256, 128, 64, 32, 16), n_blocks=5,
+        use_batchnorm=True, attention_type=None, center=False)
+    head = heads.SegmentationHead(16, 2, kernel_size=3)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(7)
+    x = rs.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+
+    ours = UnetPlusPlus(classes=2, in_channels=3, encoder_name="resnet10",
+                        encoder_depth=5, decoder_channels=(256, 128, 64, 32, 16))
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x), False)
+
+    enc_p, enc_s = _translate_encoder(enc)
+    params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+    for key in variables["params"]:
+        if not key.startswith("x_"):
+            continue
+        blk = decoder.blocks[key]
+        p, s = {}, {}
+        p["Conv2dReLU_0"], s["Conv2dReLU_0"] = _translate_conv2drelu(blk.conv1)
+        p["Conv2dReLU_1"], s["Conv2dReLU_1"] = _translate_conv2drelu(blk.conv2)
+        params[key], stats[key] = p, s
+    params["SegmentationHead_0"] = {
+        "kernel": _conv(head[0].weight),
+        "bias": jnp.asarray(head[0].bias.detach().numpy())}
+    translated = {"params": params, "batch_stats": stats}
+    _paths_equal(variables, translated)
+
+    out = ours.apply(translated, jnp.asarray(x), False)[-1]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

@@ -26,7 +26,7 @@ NAS_UNET_V3 = Genotype(
           ('down_cweight', 0), ('conv', 4)],
     down_concat=range(2, 6),
     up=[('cweight', 0), ('up_cweight', 1), ('conv', 2), ('up_cweight', 1),
-        ('up_cweight', 1), ('conv', 3), ('identity', 0), ('up_dil_conv', 1)],
+        ('up_cweight', 1), ('conv', 3), ('up_cweight', 1), ('conv', 4)],
     up_concat=range(2, 6),
     gamma=[])
 
@@ -87,8 +87,9 @@ class ConvOps(nn.Module):
                     else:
                         x = conv2d(x, w, stride=self.stride, dilation=self.dilation)
             elif op == "norm" and self.use_norm:
+                # epsilon 1e-5: torch GroupNorm default (flax's is 1e-6)
                 x = nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]),
-                                 dtype=self.dtype)(x)
+                                 epsilon=1e-5, dtype=self.dtype)(x)
         return x
 
 
@@ -120,7 +121,7 @@ class CWeightOp(nn.Module):
             else:
                 out = conv2d(gated, w, stride=self.stride)
             return nn.GroupNorm(num_groups=_gn_groups(self.c_out),
-                                dtype=self.dtype)(out)
+                                epsilon=1e-5, dtype=self.dtype)(out)
         return gated
 
 
@@ -182,6 +183,15 @@ def make_nasunet_op(name: str, c: int, dtype=None, module_name=None) -> nn.Modul
     return table[name]()
 
 
+def _nearest(x, th: int, tw: int):
+    """torch F.interpolate(mode='nearest') convention: src = floor(dst*in/out)
+    (jax.image.resize 'nearest' uses half-pixel centers — different picks)."""
+    h, w = x.shape[1], x.shape[2]
+    yi = (jnp.arange(th) * h) // th
+    xi = (jnp.arange(tw) * w) // tw
+    return x[:, yi][:, :, xi]
+
+
 def _match(h1, h2):
     """Interpolate the smaller map to the larger (nas_unet.py:58-64)."""
     if h1.shape[1:3] == h2.shape[1:3]:
@@ -189,9 +199,9 @@ def _match(h1, h2):
     b1, a1 = h1.shape[1], h1.shape[2]
     b2, a2 = h2.shape[1], h2.shape[2]
     if b1 > b2 or a1 > a2:
-        h2 = jax.image.resize(h2, (h2.shape[0], b1, a1, h2.shape[3]), "nearest")
+        h2 = _nearest(h2, b1, a1)
     else:
-        h1 = jax.image.resize(h1, (h1.shape[0], b2, a2, h1.shape[3]), "nearest")
+        h1 = _nearest(h1, b2, a2)
     return h1, h2
 
 
@@ -232,9 +242,10 @@ class NasUnetCell(nn.Module):
             states.append(h1 + h2)
         outs = [states[i] for i in self._concat]
         ref = outs[0]
-        outs = [o if o.shape[1:3] == ref.shape[1:3] else jax.image.resize(
-            o, (o.shape[0],) + ref.shape[1:3] + (o.shape[3],), "nearest")
-            for o in outs]
+        # defensive resize: with NAS_UNET_V3 every node matches to the larger
+        # map so the reference's plain torch.cat never sees a mismatch
+        outs = [o if o.shape[1:3] == ref.shape[1:3]
+                else _nearest(o, ref.shape[1], ref.shape[2]) for o in outs]
         return jnp.concatenate(outs, axis=-1)
 
 

@@ -102,11 +102,19 @@ class SearchRunner:
         self.beta_mode = s.get("beta_mode", "reference")
         normalize = lambda a: normalize_arch(a, self.meta_node_num,
                                              self.beta_mode)
+        # reference mode (default): the weight SGD also updates the arch
+        # tables and the clip norm spans weight+arch grads, because the
+        # reference's model_optimizer is built over model.parameters()
+        # (search_arc.py:135). Set searching.arch_in_weight_step: false for
+        # the "pure" DARTS variant.
+        aiws = bool(s.get("arch_in_weight_step", True))
         self.search_step = make_search_step(self.net.apply, normalize, self.loss_fn,
                                             self.w_tx, self.a_tx,
-                                            grad_clip=s.get("grad_clip", 5.0))
+                                            grad_clip=s.get("grad_clip", 5.0),
+                                            arch_in_weight_step=aiws)
         _eval = make_search_eval_step(self.net.apply, normalize, self.loss_fn)
-        self.state = SearchTrainState.create(variables, arch, self.w_tx, self.a_tx)
+        self.state = SearchTrainState.create(variables, arch, self.w_tx, self.a_tx,
+                                             arch_in_weight_step=aiws)
         self._eval_raw = _eval
 
         self.start_epoch = 0

@@ -149,9 +149,23 @@ class TestBilevelStep:
                           state.arch, new_state.arch)
         assert max(jax.tree.leaves(da)) > 0
 
-        # without arch step, arch params frozen
+        # without the Adam arch step (epoch < alpha_begin), arch params STILL
+        # move in the default reference mode: the weight SGD spans
+        # model.parameters() incl. the arch tables (search_arc.py:135)
         state2, m2 = step(new_state, batch, batch, False)
         da2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                            new_state.arch, state2.arch)
-        assert max(jax.tree.leaves(da2)) == 0
+        assert max(jax.tree.leaves(da2)) > 0
         assert float(m2["arch_loss"]) == 0
+
+        # pure-DARTS mode (arch_in_weight_step=False): arch frozen when the
+        # Adam step is off
+        step_pure = make_search_step(model.apply, normalize, loss_fn, w_tx,
+                                     a_tx, grad_clip=5.0, donate=False,
+                                     arch_in_weight_step=False)
+        state_p = SearchTrainState.create(variables, arch, w_tx, a_tx,
+                                          arch_in_weight_step=False)
+        state_p2, _ = step_pure(state_p, batch, batch, False)
+        da3 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state_p.arch, state_p2.arch)
+        assert max(jax.tree.leaves(da3)) == 0

@@ -163,12 +163,13 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
     from senas_tpu.models.encoders_families import FAMILY_ENCODERS
     from senas_tpu.models.encoders_resnest import RESNEST_ENCODERS
+    from senas_tpu.models.encoders_timm2 import TIMM2_ENCODERS
     if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS \
-            or name in RESNEST_ENCODERS:
+            or name in RESNEST_ENCODERS or name in TIMM2_ENCODERS:
         if dilate_last:
             raise ValueError(f"{name!r} does not support dilated mode")
         entry = (EXTRA_ENCODERS.get(name) or FAMILY_ENCODERS.get(name)
-                 or RESNEST_ENCODERS[name])
+                 or RESNEST_ENCODERS.get(name) or TIMM2_ENCODERS[name])
         return entry["cls"](depth=depth, dtype=dtype, name="encoder",
                             **entry["kw"])
     if any(name.startswith(f) for f in GATED_FAMILIES):

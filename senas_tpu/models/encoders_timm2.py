@@ -1,0 +1,303 @@
+"""Native Res2Net and RegNet encoder families (NHWC Flax).
+
+De-gates two more of the reference's timm-backed encoder families
+(/root/reference/segmentation_models_pytorch/encoders/timm_res2net.py:85-168
+and timm_regnet.py:140-340). Block semantics follow timm's
+`Bottle2neck` (hierarchical multi-scale residual splits, Res2Net paper)
+and `RegNet` X/Y blocks (group-conv bottleneck + optional SE, widths from
+the generate_regnet quantized linear parameterization). The per-variant
+stage-width tables produced by `regnet_stage_widths` are cross-checked
+against the smp entries' out_channels in tests.
+
+Pretrained weights are not loadable here (zero egress), matching how the
+reference itself runs offline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from senas_tpu.models.encoders_families import ConvBnAct, _conv, _max_pool
+from senas_tpu.models.encoders_resnest import _avg_pool
+from senas_tpu.ops.primitives import kaiming_normal, relu
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Res2Net (timm Bottle2neck)
+# ---------------------------------------------------------------------------
+
+class Bottle2neck(nn.Module):
+    planes: int
+    stride: int = 1
+    cardinality: int = 1
+    base_width: int = 26
+    scale: int = 4
+    use_downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(math.floor(self.planes * (self.base_width / 64.0))) \
+            * self.cardinality
+        scale = self.scale
+        is_first = self.stride > 1 or self.use_downsample
+        num_scales = max(1, scale - 1)
+
+        residual = x
+        out = ConvBnAct(width * scale, 1, padding=(0, 0), dtype=self.dtype,
+                        name="conv1")(x, train)
+        splits = [out[..., i * width:(i + 1) * width] for i in range(scale)]
+        spo = []
+        sp = splits[0]
+        for i in range(num_scales):
+            if i == 0 or is_first:
+                sp = splits[i]
+            else:
+                sp = sp + splits[i]
+            sp = ConvBnAct(width, 3, stride=self.stride,
+                           groups=self.cardinality, dtype=self.dtype,
+                           name=f"conv2_{i}")(sp, train)
+            spo.append(sp)
+        if scale > 1:
+            if is_first:  # timm: AvgPool2d(3, stride, padding=1)
+                spo.append(_avg_pool_incl(splits[-1], 3, self.stride, 1))
+            else:
+                spo.append(splits[-1])
+        out = jnp.concatenate(spo, axis=-1)
+        out = ConvBnAct(self.planes * self.expansion, 1, padding=(0, 0),
+                        act=False, dtype=self.dtype, name="conv3")(out, train)
+        if self.use_downsample:
+            residual = ConvBnAct(self.planes * self.expansion, 1,
+                                 stride=self.stride, padding=(0, 0),
+                                 act=False, dtype=self.dtype,
+                                 name="downsample")(x, train)
+        return relu(out + residual)
+
+
+def _avg_pool_incl(x, k: int, stride: int, pad: int):
+    """AvgPool2d(k, stride, padding=pad) with count_include_pad=True (the
+    torch default, which timm's Bottle2neck pool uses)."""
+    from jax import lax
+    window, strides = (1, k, k, 1), (1, stride, stride, 1)
+    padding = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    s = lax.reduce_window(x, 0.0, lax.add, window, strides, padding)
+    return s / (k * k)
+
+
+class Res2NetEncoder(nn.Module):
+    """timm ResNet assembly with Bottle2neck blocks; smp stage contract
+    (timm_res2net.py:8-44): deep=False stem (7x7), maxpool+layer1, ..."""
+
+    layers: Sequence[int]
+    depth: int = 5
+    base_width: int = 26
+    scale: int = 4
+    cardinality: int = 1
+    dtype: Optional[Dtype] = None
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        return (3, 64, 256, 512, 1024, 2048)[: self.depth + 1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = [x]
+        if self.depth == 0:
+            return features
+        x = ConvBnAct(64, 7, stride=2, dtype=self.dtype, name="stem")(x, train)
+        features.append(x)
+        planes = (64, 128, 256, 512)
+        for li, n_blocks in enumerate(self.layers):
+            if len(features) > self.depth:
+                break
+            if li == 0:
+                x = _max_pool(x, 3, 2, 1)
+            for bi in range(n_blocks):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                need_ds = stride != 1 or x.shape[-1] != planes[li] * 4
+                x = Bottle2neck(planes[li], stride=stride,
+                                cardinality=self.cardinality,
+                                base_width=self.base_width, scale=self.scale,
+                                use_downsample=need_ds, dtype=self.dtype,
+                                name=f"layer{li + 1}_{bi}")(x, train)
+            features.append(x)
+        return features[: self.depth + 1]
+
+
+RES2NET_ENCODERS = {
+    "timm-res2net50_26w_4s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=26, scale=4)),
+    "timm-res2net101_26w_4s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 23, 3), base_width=26, scale=4)),
+    "timm-res2net50_26w_6s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=26, scale=6)),
+    "timm-res2net50_26w_8s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=26, scale=8)),
+    "timm-res2net50_48w_2s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=48, scale=2)),
+    "timm-res2net50_14w_8s": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=14, scale=8)),
+    "timm-res2next50": dict(cls=Res2NetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), base_width=4, scale=4, cardinality=8)),
+}
+
+
+# ---------------------------------------------------------------------------
+# RegNet (timm regnet.py: quantized linear widths + X/Y blocks)
+# ---------------------------------------------------------------------------
+
+def regnet_stage_widths(w0: float, wa: float, wm: float, depth: int,
+                        group_w: int, bottle_ratio: float = 1.0,
+                        q: int = 8):
+    """generate_regnet + adjust_widths_groups_comp (timm regnet.py):
+    per-stage (width, n_blocks, group_width) tuples."""
+    widths_cont = np.arange(depth) * wa + w0
+    width_exps = np.round(np.log(widths_cont / w0) / np.log(wm))
+    widths = w0 * np.power(wm, width_exps)
+    widths = (np.round(widths / q) * q).astype(int)
+    stage_widths, stage_depths = np.unique(widths, return_counts=True)
+    # adjust for group-width compatibility
+    out = []
+    for w, d in zip(stage_widths.tolist(), stage_depths.tolist()):
+        w_bot = int(round(w * bottle_ratio))
+        g = min(group_w, w_bot)
+        w_bot = int(round(w_bot / g) * g)
+        w = int(w_bot / bottle_ratio)
+        out.append((w, int(d), g))
+    return out
+
+
+class RegNetBlock(nn.Module):
+    """timm Bottleneck regnet block: 1x1 -> 3x3 group (+SE) -> 1x1, ReLU
+    after the residual add."""
+
+    w_out: int
+    stride: int = 1
+    group_width: int = 8
+    bottle_ratio: float = 1.0
+    se_ratio: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w_b = int(round(self.w_out * self.bottle_ratio))
+        groups = w_b // self.group_width
+        residual = x
+        out = ConvBnAct(w_b, 1, padding=(0, 0), dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = ConvBnAct(w_b, 3, stride=self.stride, groups=groups,
+                        dtype=self.dtype, name="conv2")(out, train)
+        if self.se_ratio > 0:
+            # SE on the block INPUT width (timm: rd_channels from in_chs)
+            rd = int(round(x.shape[-1] * self.se_ratio))
+            y = jnp.mean(out, axis=(1, 2), keepdims=True)
+            w1 = self.param("se_fc1", kaiming_normal, (1, 1, w_b, rd),
+                            jnp.float32)
+            b1 = self.param("se_b1", nn.initializers.zeros, (rd,), jnp.float32)
+            w2 = self.param("se_fc2", kaiming_normal, (1, 1, rd, w_b),
+                            jnp.float32)
+            b2 = self.param("se_b2", nn.initializers.zeros, (w_b,), jnp.float32)
+            y = relu(_conv(y, w1.astype(y.dtype), padding=(0, 0))
+                     + b1.astype(y.dtype))
+            y = nn.sigmoid(_conv(y, w2.astype(y.dtype), padding=(0, 0))
+                           + b2.astype(y.dtype))
+            out = out * y
+        out = ConvBnAct(self.w_out, 1, padding=(0, 0), act=False,
+                        dtype=self.dtype, name="conv3")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.w_out:
+            residual = ConvBnAct(self.w_out, 1, stride=self.stride,
+                                 padding=(0, 0), act=False, dtype=self.dtype,
+                                 name="downsample")(x, train)
+        return relu(out + residual)
+
+
+class RegNetEncoder(nn.Module):
+    """smp RegNetEncoder stage contract (timm_regnet.py:8-44):
+    [identity, stem(3x3 s2 -> 32), s1, s2, s3, s4] — each stage stride 2."""
+
+    w0: float
+    wa: float
+    wm: float
+    net_depth: int
+    group_w: int
+    se_ratio: float = 0.0
+    bottle_ratio: float = 1.0
+    stem_width: int = 32
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        stages = regnet_stage_widths(self.w0, self.wa, self.wm,
+                                     self.net_depth, self.group_w,
+                                     self.bottle_ratio)
+        return ((3, self.stem_width) + tuple(w for w, _, _ in stages))[
+            : self.depth + 1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = [x]
+        if self.depth == 0:
+            return features
+        x = ConvBnAct(self.stem_width, 3, stride=2, dtype=self.dtype,
+                      name="stem")(x, train)
+        features.append(x)
+        stages = regnet_stage_widths(self.w0, self.wa, self.wm,
+                                     self.net_depth, self.group_w,
+                                     self.bottle_ratio)
+        for si, (w, d, g) in enumerate(stages):
+            if len(features) > self.depth:
+                break
+            for bi in range(d):
+                x = RegNetBlock(w, stride=2 if bi == 0 else 1, group_width=g,
+                                bottle_ratio=self.bottle_ratio,
+                                se_ratio=self.se_ratio, dtype=self.dtype,
+                                name=f"s{si + 1}_b{bi}")(x, train)
+            features.append(x)
+        return features[: self.depth + 1]
+
+
+def _regnet(w0, wa, wm, depth, group_w, se=0.0):
+    return dict(cls=RegNetEncoder, kw=dict(w0=w0, wa=wa, wm=wm,
+                                           net_depth=depth, group_w=group_w,
+                                           se_ratio=se))
+
+
+# variant table: timm_regnet.py:140-340 (X = no SE, Y = se_ratio 0.25)
+REGNET_ENCODERS = {
+    "timm-regnetx_002": _regnet(24, 36.44, 2.49, 13, 8),
+    "timm-regnetx_004": _regnet(24, 24.48, 2.54, 22, 16),
+    "timm-regnetx_006": _regnet(48, 36.97, 2.24, 16, 24),
+    "timm-regnetx_008": _regnet(56, 35.73, 2.28, 16, 16),
+    "timm-regnetx_016": _regnet(80, 34.01, 2.25, 18, 24),
+    "timm-regnetx_032": _regnet(88, 26.31, 2.25, 25, 48),
+    "timm-regnetx_040": _regnet(96, 38.65, 2.43, 23, 40),
+    "timm-regnetx_064": _regnet(184, 60.83, 2.07, 17, 56),
+    "timm-regnetx_080": _regnet(80, 49.56, 2.88, 23, 120),
+    "timm-regnetx_120": _regnet(168, 73.36, 2.37, 19, 112),
+    "timm-regnetx_160": _regnet(216, 55.59, 2.1, 22, 128),
+    "timm-regnetx_320": _regnet(320, 69.86, 2.0, 23, 168),
+    "timm-regnety_002": _regnet(24, 36.44, 2.49, 13, 8, se=0.25),
+    "timm-regnety_004": _regnet(48, 27.89, 2.09, 16, 8, se=0.25),
+    "timm-regnety_006": _regnet(48, 32.54, 2.32, 15, 16, se=0.25),
+    "timm-regnety_008": _regnet(56, 38.84, 2.4, 14, 16, se=0.25),
+    "timm-regnety_016": _regnet(48, 20.71, 2.65, 27, 24, se=0.25),
+    "timm-regnety_032": _regnet(80, 42.63, 2.66, 21, 24, se=0.25),
+    "timm-regnety_040": _regnet(96, 31.41, 2.24, 22, 64, se=0.25),
+    "timm-regnety_064": _regnet(112, 33.22, 2.27, 25, 72, se=0.25),
+    "timm-regnety_080": _regnet(192, 76.82, 2.19, 17, 56, se=0.25),
+    "timm-regnety_120": _regnet(168, 73.36, 2.37, 19, 112, se=0.25),
+    "timm-regnety_160": _regnet(200, 106.23, 2.48, 18, 112, se=0.25),
+    "timm-regnety_320": _regnet(232, 115.89, 2.53, 20, 232, se=0.25),
+}
+
+TIMM2_ENCODERS = {**RES2NET_ENCODERS, **REGNET_ENCODERS}

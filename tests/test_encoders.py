@@ -68,8 +68,12 @@ def test_unet_runs_on_extra_encoder():
 
 
 def test_gated_families_raise():
+    # resnest/res2net/regnet are de-gated (native ports); sknet et al. and
+    # the tu- universal wrapper remain timm-gated
     with pytest.raises(KeyError, match="timm"):
-        get_encoder("timm-regnetx_002")
+        get_encoder("timm-skresnet18")
+    with pytest.raises(KeyError, match="timm"):
+        get_encoder("tu-resnet34")
 
 
 def test_family_encoder_trains_through_unet():
@@ -191,3 +195,45 @@ def test_preprocessing_params_registry():
     y = fn(x)
     np.testing.assert_allclose(
         y[..., 0], (128 / 255 - 0.485) / 0.229, rtol=1e-6)
+
+
+def test_regnet_widths_match_smp_tables():
+    """The generate_regnet width algorithm must reproduce the smp entries'
+    out_channels tables exactly (timm_regnet.py:140-340) — a cross-check of
+    the whole quantized-linear parameterization."""
+    from senas_tpu.models.encoders_timm2 import REGNET_ENCODERS
+
+    SMP_TABLES = {
+        "timm-regnetx_002": (3, 32, 24, 56, 152, 368),
+        "timm-regnetx_006": (3, 32, 48, 96, 240, 528),
+        "timm-regnetx_032": (3, 32, 96, 192, 432, 1008),
+        "timm-regnetx_080": (3, 32, 80, 240, 720, 1920),
+        "timm-regnetx_320": (3, 32, 336, 672, 1344, 2520),
+        "timm-regnety_002": (3, 32, 24, 56, 152, 368),
+        "timm-regnety_016": (3, 32, 48, 120, 336, 888),
+        "timm-regnety_040": (3, 32, 128, 192, 512, 1088),
+        "timm-regnety_160": (3, 32, 224, 448, 1232, 3024),
+        "timm-regnety_320": (3, 32, 232, 696, 1392, 3712),
+    }
+    for name, table in SMP_TABLES.items():
+        enc = REGNET_ENCODERS[name]["cls"](depth=5, **REGNET_ENCODERS[name]["kw"])
+        assert enc.out_channels == table, (name, enc.out_channels, table)
+
+
+@pytest.mark.parametrize("name,table", [
+    ("timm-res2net50_26w_4s", (3, 64, 256, 512, 1024, 2048)),
+    ("timm-res2net50_48w_2s", (3, 64, 256, 512, 1024, 2048)),
+    ("timm-res2next50", (3, 64, 256, 512, 1024, 2048)),
+    ("timm-regnetx_002", (3, 32, 24, 56, 152, 368)),
+    ("timm-regnety_002", (3, 32, 24, 56, 152, 368)),
+])
+def test_timm2_encoder_pyramid(name, table):
+    depth, hw = 5, 32
+    enc = get_encoder(name, depth=depth)
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == depth + 1
+    for level, f in enumerate(feats):
+        assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == table[level], (name, level, f.shape)

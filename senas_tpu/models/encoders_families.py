@@ -47,15 +47,16 @@ Dtype = Any
 # rectangular conv / pool helpers (Inception needs 1x7 / 7x1 kernels)
 # ---------------------------------------------------------------------------
 
-def _conv(x, w, stride=1, groups: int = 1, padding=None):
-    """NHWC/HWIO conv with torch-style explicit padding (default k//2)."""
+def _conv(x, w, stride=1, groups: int = 1, dilation: int = 1, padding=None):
+    """NHWC/HWIO conv with torch-style explicit padding (default (k//2)*d)."""
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
-        padding = (kh // 2, kw // 2)
+        padding = ((kh // 2) * dilation, (kw // 2) * dilation)
     ph, pw = padding
     s = (stride, stride) if isinstance(stride, int) else stride
     return lax.conv_general_dilated(
         x, w, window_strides=s, padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
 
@@ -92,6 +93,7 @@ class ConvBnAct(nn.Module):
     kernel: Any = 3
     stride: int = 1
     groups: int = 1
+    dilation: int = 1
     padding: Optional[Tuple[int, int]] = None
     act: bool = True
     dtype: Optional[Dtype] = None
@@ -104,7 +106,7 @@ class ConvBnAct(nn.Module):
                        (k[0], k[1], x.shape[-1] // self.groups, self.c_out),
                        jnp.float32)
         x = _conv(x, w.astype(x.dtype), stride=self.stride, groups=self.groups,
-                  padding=self.padding)
+                  dilation=self.dilation, padding=self.padding)
         x = build_norm(self.dtype, name="bn")(x, use_running_average=not train)
         return relu(x) if self.act else x
 

@@ -300,4 +300,162 @@ REGNET_ENCODERS = {
     "timm-regnety_320": _regnet(232, 115.89, 2.53, 20, 232, se=0.25),
 }
 
-TIMM2_ENCODERS = {**RES2NET_ENCODERS, **REGNET_ENCODERS}
+# ---------------------------------------------------------------------------
+# SkNet (timm selective_kernel.py: SelectiveKernel + path attention)
+# ---------------------------------------------------------------------------
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    return max(divisor, int(v + divisor / 2) // divisor * divisor)
+
+
+class SelectiveKernel(nn.Module):
+    """Two 3x3 paths (dilations 1 and 2 — timm's keep_3x3 folding of the
+    [3, 5] kernel pair) + softmax path attention over a shared squeeze."""
+
+    c_out: int
+    stride: int = 1
+    groups: int = 1
+    rd_ratio: float = 1.0 / 16
+    split_input: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        paths = []
+        n_paths = 2
+        if self.split_input:
+            c = x.shape[-1] // n_paths
+            inputs = [x[..., :c], x[..., c:]]
+        else:
+            inputs = [x, x]
+        for i, (xin, d) in enumerate(zip(inputs, (1, 2))):
+            paths.append(ConvBnAct(self.c_out, 3, stride=self.stride,
+                                   groups=self.groups, dilation=d,
+                                   dtype=self.dtype, name=f"path{i}")(xin, train))
+        stacked = jnp.stack(paths, axis=-2)  # [B,H,W,P,C]
+        attn_chs = _make_divisible(self.c_out * self.rd_ratio)
+        y = stacked.sum(axis=-2).mean(axis=(1, 2), keepdims=True)  # [B,1,1,C]
+        w1 = self.param("fc_reduce", kaiming_normal,
+                        (1, 1, self.c_out, attn_chs), jnp.float32)
+        y = _conv(y, w1.astype(y.dtype), padding=(0, 0))
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="attn_bn")(y)
+        y = relu(y)
+        w2 = self.param("fc_select", kaiming_normal,
+                        (1, 1, attn_chs, self.c_out * n_paths), jnp.float32)
+        y = _conv(y, w2.astype(y.dtype), padding=(0, 0))
+        y = y.reshape(y.shape[0], 1, 1, n_paths, self.c_out)
+        y = nn.softmax(y, axis=-2)
+        return (stacked * y).sum(axis=-2)
+
+
+class SelectiveKernelBasic(nn.Module):
+    planes: int
+    stride: int = 1
+    rd_ratio: float = 1.0 / 8
+    use_downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = SelectiveKernel(self.planes, stride=self.stride,
+                              rd_ratio=self.rd_ratio, split_input=True,
+                              dtype=self.dtype, name="conv1")(x, train)
+        out = relu(out)
+        out = ConvBnAct(self.planes, 3, act=False, dtype=self.dtype,
+                        name="conv2")(out, train)
+        if self.use_downsample:
+            residual = ConvBnAct(self.planes, 1, stride=self.stride,
+                                 padding=(0, 0), act=False, dtype=self.dtype,
+                                 name="downsample")(x, train)
+        return relu(out + residual)
+
+
+class SelectiveKernelBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    cardinality: int = 32
+    base_width: int = 4
+    use_downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(self.planes * (self.base_width / 64.0)) * self.cardinality
+        residual = x
+        out = ConvBnAct(width, 1, padding=(0, 0), dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = SelectiveKernel(width, stride=self.stride,
+                              groups=self.cardinality, split_input=True,
+                              dtype=self.dtype, name="conv2")(out, train)
+        out = relu(out)
+        out = ConvBnAct(self.planes * self.expansion, 1, padding=(0, 0),
+                        act=False, dtype=self.dtype, name="conv3")(out, train)
+        if self.use_downsample:
+            residual = ConvBnAct(self.planes * self.expansion, 1,
+                                 stride=self.stride, padding=(0, 0),
+                                 act=False, dtype=self.dtype,
+                                 name="downsample")(x, train)
+        return relu(out + residual)
+
+
+class SkNetEncoder(nn.Module):
+    """timm ResNet assembly with selective-kernel blocks; smp stage contract
+    (timm_sknet.py:8-39)."""
+
+    layers: Sequence[int]
+    block: str = "basic"  # "basic" | "bottleneck"
+    depth: int = 5
+    cardinality: int = 32
+    base_width: int = 4
+    dtype: Optional[Dtype] = None
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        e = 1 if self.block == "basic" else 4
+        return (3, 64, 64 * e, 128 * e, 256 * e, 512 * e)[: self.depth + 1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = [x]
+        if self.depth == 0:
+            return features
+        x = ConvBnAct(64, 7, stride=2, dtype=self.dtype, name="stem")(x, train)
+        features.append(x)
+        planes = (64, 128, 256, 512)
+        for li, n_blocks in enumerate(self.layers):
+            if len(features) > self.depth:
+                break
+            if li == 0:
+                x = _max_pool(x, 3, 2, 1)
+            for bi in range(n_blocks):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                if self.block == "basic":
+                    need_ds = stride != 1 or x.shape[-1] != planes[li]
+                    x = SelectiveKernelBasic(
+                        planes[li], stride=stride, use_downsample=need_ds,
+                        dtype=self.dtype, name=f"layer{li + 1}_{bi}")(x, train)
+                else:
+                    need_ds = stride != 1 or x.shape[-1] != planes[li] * 4
+                    x = SelectiveKernelBottleneck(
+                        planes[li], stride=stride, cardinality=self.cardinality,
+                        base_width=self.base_width, use_downsample=need_ds,
+                        dtype=self.dtype, name=f"layer{li + 1}_{bi}")(x, train)
+            features.append(x)
+        return features[: self.depth + 1]
+
+
+SKNET_ENCODERS = {
+    "timm-skresnet18": dict(cls=SkNetEncoder, kw=dict(
+        layers=(2, 2, 2, 2), block="basic")),
+    "timm-skresnet34": dict(cls=SkNetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), block="basic")),
+    "timm-skresnext50_32x4d": dict(cls=SkNetEncoder, kw=dict(
+        layers=(3, 4, 6, 3), block="bottleneck", cardinality=32,
+        base_width=4)),
+}
+
+TIMM2_ENCODERS = {**RES2NET_ENCODERS, **REGNET_ENCODERS, **SKNET_ENCODERS}

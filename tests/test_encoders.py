@@ -237,3 +237,19 @@ def test_timm2_encoder_pyramid(name, table):
     for level, f in enumerate(feats):
         assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
         assert f.shape[-1] == table[level], (name, level, f.shape)
+
+
+@pytest.mark.parametrize("name,table", [
+    ("timm-skresnet18", (3, 64, 64, 128, 256, 512)),
+    ("timm-skresnext50_32x4d", (3, 64, 256, 512, 1024, 2048)),
+])
+def test_sknet_encoder_pyramid(name, table):
+    depth, hw = 5, 32
+    enc = get_encoder(name, depth=depth)
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == depth + 1
+    for level, f in enumerate(feats):
+        assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == table[level], (name, level, f.shape)

@@ -163,13 +163,14 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
     from senas_tpu.models.encoders_families import FAMILY_ENCODERS
     from senas_tpu.models.encoders_resnest import RESNEST_ENCODERS
+    from senas_tpu.models.encoders_mnv3 import MNV3_ENCODERS
     from senas_tpu.models.encoders_timm2 import TIMM2_ENCODERS
-    if name in EXTRA_ENCODERS or name in FAMILY_ENCODERS \
-            or name in RESNEST_ENCODERS or name in TIMM2_ENCODERS:
+    registries = (EXTRA_ENCODERS, FAMILY_ENCODERS, RESNEST_ENCODERS,
+                  TIMM2_ENCODERS, MNV3_ENCODERS)
+    if any(name in r for r in registries):
         if dilate_last:
             raise ValueError(f"{name!r} does not support dilated mode")
-        entry = (EXTRA_ENCODERS.get(name) or FAMILY_ENCODERS.get(name)
-                 or RESNEST_ENCODERS.get(name) or TIMM2_ENCODERS[name])
+        entry = next(r[name] for r in registries if name in r)
         return entry["cls"](depth=depth, dtype=dtype, name="encoder",
                             **entry["kw"])
     if any(name.startswith(f) for f in GATED_FAMILIES):

@@ -244,8 +244,12 @@ EXTRA_ENCODERS = {
     "mobilenet_v2": dict(cls=MobileNetV2Encoder, kw=dict()),
 }
 
-# timm-* wrappers expose timm's whole pretrained-model registry rather than
-# an architecture; timm is not in this image, so they stay gated.
+# Remaining timm-backed surface with no native port: timm-efficientnet-*
+# (duplicates our native efficientnet-b* entries with timm's lite/advprop
+# builds) and the tu- TimmUniversalEncoder (a wrapper over timm's whole
+# pretrained registry, not an architecture). resnest / res2net / regnet /
+# sknet / gernet / mobilenetv3 are all natively ported (encoders_resnest.py,
+# encoders_timm2.py, encoders_mnv3.py) and no longer hit this gate.
 GATED_FAMILIES = ("timm-", "tu-")
 
 

@@ -458,4 +458,121 @@ SKNET_ENCODERS = {
         base_width=4)),
 }
 
-TIMM2_ENCODERS = {**RES2NET_ENCODERS, **REGNET_ENCODERS, **SKNET_ENCODERS}
+# ---------------------------------------------------------------------------
+# GERNet (timm ByobNet: basic / bottle block configs, timm_gernet.py:67-140)
+# ---------------------------------------------------------------------------
+
+class ByoBasicBlock(nn.Module):
+    c_out: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = ConvBnAct(self.c_out, 3, stride=self.stride, dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = ConvBnAct(self.c_out, 3, act=False, dtype=self.dtype,
+                        name="conv2")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.c_out:
+            residual = ConvBnAct(self.c_out, 1, stride=self.stride,
+                                 padding=(0, 0), act=False, dtype=self.dtype,
+                                 name="shortcut")(x, train)
+        return relu(out + residual)
+
+
+class ByoBottleBlock(nn.Module):
+    """1x1 -> 3x3 (group_size 1 = depthwise when gs=1) -> 1x1 with
+    bottle_ratio-scaled mid width (inverted when br > 1)."""
+
+    c_out: int
+    stride: int = 1
+    bottle_ratio: float = 1.0
+    group_size: int = 0  # 0 = one group; 1 = depthwise
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = _make_divisible(self.c_out * self.bottle_ratio)
+        groups = mid // self.group_size if self.group_size else 1
+        residual = x
+        out = ConvBnAct(mid, 1, padding=(0, 0), dtype=self.dtype,
+                        name="conv1")(x, train)
+        out = ConvBnAct(mid, 3, stride=self.stride, groups=groups,
+                        dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBnAct(self.c_out, 1, padding=(0, 0), act=False,
+                        dtype=self.dtype, name="conv3")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.c_out:
+            residual = ConvBnAct(self.c_out, 1, stride=self.stride,
+                                 padding=(0, 0), act=False, dtype=self.dtype,
+                                 name="shortcut")(x, train)
+        return relu(out + residual)
+
+
+class GERNetEncoder(nn.Module):
+    """smp GERNetEncoder stage contract (timm_gernet.py:16-24): the LAST
+    smp stage folds byob stages 4+5 and the final 1x1 conv together."""
+
+    blocks: Sequence[Tuple]  # (type, d, c, s, gs, br) per byob stage
+    stem_chs: int
+    num_features: int
+    depth: int = 5
+    dtype: Optional[Dtype] = None
+
+    @property
+    def out_channels(self) -> Tuple[int, ...]:
+        cs = [c for _, _, c, _, _, _ in self.blocks]
+        return ((3, self.stem_chs, cs[0], cs[1], cs[2], self.num_features)[
+            : self.depth + 1])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = [x]
+        if self.depth == 0:
+            return features
+        x = ConvBnAct(self.stem_chs, 3, stride=2, dtype=self.dtype,
+                      name="stem")(x, train)
+        features.append(x)
+
+        for si, (btype, d, c, s, gs, br) in enumerate(self.blocks):
+            if len(features) > self.depth:
+                break
+            for bi in range(d):
+                stride = s if bi == 0 else 1
+                if btype == "basic":
+                    x = ByoBasicBlock(c, stride=stride, dtype=self.dtype,
+                                      name=f"s{si}_b{bi}")(x, train)
+                else:
+                    x = ByoBottleBlock(c, stride=stride, bottle_ratio=br,
+                                       group_size=gs, dtype=self.dtype,
+                                       name=f"s{si}_b{bi}")(x, train)
+            # smp folds stages 3, 4 and the final conv into ONE feature level
+            if si < 3:
+                features.append(x)
+        x = ConvBnAct(self.num_features, 1, padding=(0, 0), dtype=self.dtype,
+                      name="final_conv")(x, train)
+        features.append(x)
+        return features[: self.depth + 1]
+
+
+GERNET_ENCODERS = {
+    # (type, depth, channels, stride, group_size, bottle_ratio)
+    "timm-gernet_s": dict(cls=GERNetEncoder, kw=dict(
+        blocks=(("basic", 1, 48, 2, 0, 1.0), ("basic", 3, 48, 2, 0, 1.0),
+                ("bottle", 7, 384, 2, 0, 0.25), ("bottle", 2, 560, 2, 1, 3.0),
+                ("bottle", 1, 256, 1, 1, 3.0)),
+        stem_chs=13, num_features=1920)),
+    "timm-gernet_m": dict(cls=GERNetEncoder, kw=dict(
+        blocks=(("basic", 1, 128, 2, 0, 1.0), ("basic", 2, 192, 2, 0, 1.0),
+                ("bottle", 6, 640, 2, 0, 0.25), ("bottle", 4, 640, 2, 1, 3.0),
+                ("bottle", 1, 640, 1, 1, 3.0)),
+        stem_chs=32, num_features=2560)),
+    "timm-gernet_l": dict(cls=GERNetEncoder, kw=dict(
+        blocks=(("basic", 1, 128, 2, 0, 1.0), ("basic", 2, 192, 2, 0, 1.0),
+                ("bottle", 6, 640, 2, 0, 0.25), ("bottle", 5, 640, 2, 1, 3.0),
+                ("bottle", 4, 640, 1, 1, 3.0)),
+        stem_chs=32, num_features=2560)),
+}
+
+TIMM2_ENCODERS = {**RES2NET_ENCODERS, **REGNET_ENCODERS, **SKNET_ENCODERS,
+                  **GERNET_ENCODERS}

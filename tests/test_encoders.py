@@ -253,3 +253,24 @@ def test_sknet_encoder_pyramid(name, table):
     for level, f in enumerate(feats):
         assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
         assert f.shape[-1] == table[level], (name, level, f.shape)
+
+
+@pytest.mark.parametrize("name,table", [
+    ("timm-mobilenetv3_large_100", (3, 16, 24, 40, 112, 960)),
+    ("timm-mobilenetv3_large_075", (3, 16, 24, 32, 88, 720)),
+    ("timm-mobilenetv3_small_100", (3, 16, 16, 24, 48, 576)),
+    ("timm-mobilenetv3_small_minimal_100", (3, 16, 16, 24, 48, 576)),
+    ("timm-gernet_s", (3, 13, 48, 48, 384, 1920)),
+    ("timm-gernet_m", (3, 32, 128, 192, 640, 2560)),
+])
+def test_mnv3_gernet_encoder_pyramid(name, table):
+    depth, hw = 5, 32
+    enc = get_encoder(name, depth=depth)
+    assert enc.out_channels == table, (name, enc.out_channels)
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == depth + 1
+    for level, f in enumerate(feats):
+        assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == table[level], (name, level, f.shape)

@@ -363,10 +363,22 @@ class EfficientNetEncoder(nn.Module):
 
 
 EXTRA_ENCODERS.update({
+    # (width_mult, depth_mult) per the EfficientNet compound-scaling table;
+    # smp ships b0..b7 (efficientnet.py:106-177)
     "efficientnet-b0": dict(cls=EfficientNetEncoder,
                             kw=dict(width_mult=1.0, depth_mult=1.0)),
     "efficientnet-b1": dict(cls=EfficientNetEncoder,
                             kw=dict(width_mult=1.0, depth_mult=1.1)),
     "efficientnet-b2": dict(cls=EfficientNetEncoder,
                             kw=dict(width_mult=1.1, depth_mult=1.2)),
+    "efficientnet-b3": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.2, depth_mult=1.4)),
+    "efficientnet-b4": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.4, depth_mult=1.8)),
+    "efficientnet-b5": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.6, depth_mult=2.2)),
+    "efficientnet-b6": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=1.8, depth_mult=2.6)),
+    "efficientnet-b7": dict(cls=EfficientNetEncoder,
+                            kw=dict(width_mult=2.0, depth_mult=3.1)),
 })

@@ -68,10 +68,11 @@ def test_unet_runs_on_extra_encoder():
 
 
 def test_gated_families_raise():
-    # resnest/res2net/regnet are de-gated (native ports); sknet et al. and
-    # the tu- universal wrapper remain timm-gated
+    # every timm architecture family is natively ported; only the
+    # timm-efficientnet duplicates and the tu- universal registry wrapper
+    # remain gated
     with pytest.raises(KeyError, match="timm"):
-        get_encoder("timm-skresnet18")
+        get_encoder("timm-efficientnet-b0")
     with pytest.raises(KeyError, match="timm"):
         get_encoder("tu-resnet34")
 
@@ -273,4 +274,21 @@ def test_mnv3_gernet_encoder_pyramid(name, table):
     assert len(feats) == depth + 1
     for level, f in enumerate(feats):
         assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == table[level], (name, level, f.shape)
+
+
+@pytest.mark.parametrize("name,table", [
+    ("efficientnet-b3", (3, 40, 32, 48, 136, 384)),
+    ("efficientnet-b5", (3, 48, 40, 64, 176, 512)),
+    ("efficientnet-b7", (3, 64, 48, 80, 224, 640)),
+])
+def test_efficientnet_large_variants(name, table):
+    """b3-b7 compound scaling must reproduce the smp out_channels tables
+    (efficientnet.py:133-177)."""
+    depth, hw = 5, 32
+    enc = get_encoder(name, depth=depth)
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    for level, f in enumerate(feats):
         assert f.shape[-1] == table[level], (name, level, f.shape)

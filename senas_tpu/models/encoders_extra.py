@@ -244,13 +244,13 @@ EXTRA_ENCODERS = {
     "mobilenet_v2": dict(cls=MobileNetV2Encoder, kw=dict()),
 }
 
-# Remaining timm-backed surface with no native port: timm-efficientnet-*
-# (duplicates our native efficientnet-b* entries with timm's lite/advprop
-# builds) and the tu- TimmUniversalEncoder (a wrapper over timm's whole
-# pretrained registry, not an architecture). resnest / res2net / regnet /
-# sknet / gernet / mobilenetv3 are all natively ported (encoders_resnest.py,
-# encoders_timm2.py, encoders_mnv3.py) and no longer hit this gate.
-GATED_FAMILIES = ("timm-", "tu-")
+# Remaining timm-backed surface with no native port: only the tu-
+# TimmUniversalEncoder (a wrapper over timm's whole pretrained registry,
+# not an architecture). Every timm-* architecture family is natively
+# ported: resnest / res2net / regnet / sknet / gernet / mobilenetv3
+# (encoders_resnest.py, encoders_timm2.py, encoders_mnv3.py) and
+# efficientnet b0-b8/l2 + tf_efficientnet_lite0-4 (below).
+GATED_FAMILIES = ("tu-",)
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +280,12 @@ class _MBConv(nn.Module):
     kernel: int
     stride: int
     expand: int
+    # lite (timm tf_efficientnet_lite*): relu6 instead of swish, no SE
+    lite: bool = False
     dtype: Optional[Dtype] = None
+
+    def _act(self, y):
+        return nn.relu6(y) if self.lite else nn.swish(y)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -293,22 +298,23 @@ class _MBConv(nn.Module):
             y = conv2d(y, w.astype(y.dtype))
             y = build_norm(self.dtype, name="expand_bn")(
                 y, use_running_average=not train)
-            y = nn.swish(y)
+            y = self._act(y)
         wd = self.param("dw_conv", kaiming_normal,
                         (self.kernel, self.kernel, 1, hidden), jnp.float32)
         y = conv2d(y, wd.astype(y.dtype), stride=self.stride, groups=hidden)
         y = build_norm(self.dtype, name="dw_bn")(y, use_running_average=not train)
-        y = nn.swish(y)
-        # squeeze-excite, reduction relative to the BLOCK INPUT channels
-        se_c = max(1, c_in // 4)
-        s = jnp.mean(y, axis=(1, 2))
-        w1 = self.param("se_reduce", kaiming_normal, (hidden, se_c), jnp.float32)
-        b1 = self.param("se_reduce_b", nn.initializers.zeros, (se_c,), jnp.float32)
-        w2 = self.param("se_expand", kaiming_normal, (se_c, hidden), jnp.float32)
-        b2 = self.param("se_expand_b", nn.initializers.zeros, (hidden,), jnp.float32)
-        s = nn.swish(s @ w1.astype(s.dtype) + b1.astype(s.dtype))
-        s = nn.sigmoid(s @ w2.astype(s.dtype) + b2.astype(s.dtype))
-        y = y * s[:, None, None, :]
+        y = self._act(y)
+        if not self.lite:
+            # squeeze-excite, reduction relative to the BLOCK INPUT channels
+            se_c = max(1, c_in // 4)
+            s = jnp.mean(y, axis=(1, 2))
+            w1 = self.param("se_reduce", kaiming_normal, (hidden, se_c), jnp.float32)
+            b1 = self.param("se_reduce_b", nn.initializers.zeros, (se_c,), jnp.float32)
+            w2 = self.param("se_expand", kaiming_normal, (se_c, hidden), jnp.float32)
+            b2 = self.param("se_expand_b", nn.initializers.zeros, (hidden,), jnp.float32)
+            s = nn.swish(s @ w1.astype(s.dtype) + b1.astype(s.dtype))
+            s = nn.sigmoid(s @ w2.astype(s.dtype) + b2.astype(s.dtype))
+            y = y * s[:, None, None, :]
         wp = self.param("project_conv", kaiming_normal,
                         (1, 1, hidden, self.c_out), jnp.float32)
         y = conv2d(y, wp.astype(y.dtype))
@@ -328,13 +334,20 @@ _EFFNET_STAGE_AFTER = {1: 2, 2: 3, 4: 4, 6: 5}
 
 
 class EfficientNetEncoder(nn.Module):
-    """EfficientNet-B{0,1,2} feature pyramid: f1 = stem (stride 2), then
+    """EfficientNet-B* feature pyramid: f1 = stem (stride 2), then
     taps after the c24 / c40 / c112 / c320 block groups — the smp
-    stage_idxs boundaries (efficientnet.py:45-53, 110-129)."""
+    stage_idxs boundaries (efficientnet.py:45-53, 110-129).
+
+    ``lite=True`` builds the EfficientNet-Lite variant exactly as smp's
+    timm wrapper does (timm_efficientnet.py:53-91): relu6 instead of
+    swish, no squeeze-excite, stem channels fixed at 32 (``fix_stem``),
+    and first/last block-group repeats not scaled by the depth
+    multiplier (``fix_first_last``)."""
 
     width_mult: float = 1.0
     depth_mult: float = 1.0
     depth: int = 5
+    lite: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -342,19 +355,25 @@ class EfficientNetEncoder(nn.Module):
         features = [x]
         if self.depth == 0:
             return features
-        stem_c = _round_filters(32, self.width_mult)
+        act = nn.relu6 if self.lite else nn.swish
+        stem_c = 32 if self.lite else _round_filters(32, self.width_mult)
         w = self.param("stem_conv", kaiming_normal, (3, 3, x.shape[-1], stem_c),
                        jnp.float32)
         x = conv2d(x.astype(self.dtype or x.dtype),
                    w.astype(self.dtype or x.dtype), stride=2)
         x = build_norm(self.dtype, name="stem_bn")(x, use_running_average=not train)
-        x = nn.swish(x)
+        x = act(x)
         features.append(x)
+        last_pi = len(_EFFNET_PLAN) - 1
         for pi, (t, c, n, k, s) in enumerate(_EFFNET_PLAN):
             c_out = _round_filters(c, self.width_mult)
-            for r in range(_round_repeats(n, self.depth_mult)):
-                x = _MBConv(c_out, k, s if r == 0 else 1, t, dtype=self.dtype,
-                            name=f"block{pi}_{r}")(x, train)
+            if self.lite and pi in (0, last_pi):
+                n_rep = n
+            else:
+                n_rep = _round_repeats(n, self.depth_mult)
+            for r in range(n_rep):
+                x = _MBConv(c_out, k, s if r == 0 else 1, t, lite=self.lite,
+                            dtype=self.dtype, name=f"block{pi}_{r}")(x, train)
             if pi in _EFFNET_STAGE_AFTER:
                 features.append(x)
                 if len(features) > self.depth:
@@ -381,4 +400,26 @@ EXTRA_ENCODERS.update({
                             kw=dict(width_mult=1.8, depth_mult=2.6)),
     "efficientnet-b7": dict(cls=EfficientNetEncoder,
                             kw=dict(width_mult=2.0, depth_mult=3.1)),
+})
+
+# timm-efficientnet-* duplicates the efficientnet-b* architecture through
+# timm's builder (differences are pretrained-weight provenance + BN eps,
+# both moot without downloaded weights); smp additionally exposes b8/l2
+# and the tf_efficientnet_lite family there (timm_efficientnet.py:156-383).
+EXTRA_ENCODERS.update({
+    f"timm-efficientnet-{k}": dict(cls=EfficientNetEncoder,
+                                   kw=dict(width_mult=wm, depth_mult=dm))
+    for k, (wm, dm) in {
+        "b0": (1.0, 1.0), "b1": (1.0, 1.1), "b2": (1.1, 1.2),
+        "b3": (1.2, 1.4), "b4": (1.4, 1.8), "b5": (1.6, 2.2),
+        "b6": (1.8, 2.6), "b7": (2.0, 3.1), "b8": (2.2, 3.6),
+        "l2": (4.3, 5.3),
+    }.items()
+})
+EXTRA_ENCODERS.update({
+    f"timm-tf_efficientnet_lite{i}": dict(
+        cls=EfficientNetEncoder,
+        kw=dict(width_mult=wm, depth_mult=dm, lite=True))
+    for i, (wm, dm) in enumerate(
+        [(1.0, 1.0), (1.0, 1.1), (1.1, 1.2), (1.2, 1.4), (1.4, 1.8)])
 })

@@ -41,6 +41,10 @@ _DPN = {
 
 _FAMILY_SETTINGS = [
     (("inceptionv4", "inceptionresnetv2", "xception"), _INCEPTION),
+    # timm tf_-ported weights (tf_efficientnet_lite*) use the TF/inception
+    # 0.5-mean/0.5-std convention (timm default_cfgs via prepare_settings,
+    # smp timm_efficientnet.py:146-153)
+    (("timm-tf_",), _INCEPTION),
     (("dpn",), _DPN),
 ]
 

@@ -68,13 +68,53 @@ def test_unet_runs_on_extra_encoder():
 
 
 def test_gated_families_raise():
-    # every timm architecture family is natively ported; only the
-    # timm-efficientnet duplicates and the tu- universal registry wrapper
-    # remain gated
-    with pytest.raises(KeyError, match="timm"):
-        get_encoder("timm-efficientnet-b0")
+    # every timm architecture family is natively ported; only the tu-
+    # universal registry wrapper (a pretrained-weight loader, not an
+    # architecture) remains gated
     with pytest.raises(KeyError, match="timm"):
         get_encoder("tu-resnet34")
+
+
+# smp timm_efficientnet.py:156-383 out_channels contracts
+TIMM_EFFNET_CONTRACTS = [
+    ("timm-efficientnet-b0", (3, 32, 24, 40, 112, 320)),
+    ("timm-efficientnet-b2", (3, 32, 24, 48, 120, 352)),
+    ("timm-efficientnet-b4", (3, 48, 32, 56, 160, 448)),
+    ("timm-efficientnet-b8", (3, 72, 56, 88, 248, 704)),
+    ("timm-tf_efficientnet_lite0", (3, 32, 24, 40, 112, 320)),
+    ("timm-tf_efficientnet_lite3", (3, 32, 32, 48, 136, 384)),
+    ("timm-tf_efficientnet_lite4", (3, 32, 32, 56, 160, 448)),
+]
+
+
+@pytest.mark.parametrize("name,expected_c", TIMM_EFFNET_CONTRACTS,
+                         ids=[n for n, _ in TIMM_EFFNET_CONTRACTS])
+def test_timm_efficientnet_pyramid(name, expected_c):
+    enc = get_encoder(name, depth=5)
+    hw = 64
+    x = jnp.ones((1, hw, hw, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    feats = enc.apply(variables, x, False)
+    assert len(feats) == 6
+    for level, f in enumerate(feats):
+        assert f.shape[1] == hw // (2 ** level), (name, level, f.shape)
+        assert f.shape[-1] == expected_c[level], (name, level, f.shape)
+
+
+def test_efficientnet_lite_has_no_se():
+    """Lite variants drop squeeze-excite (timm_efficientnet.py:75-83:
+    arch_def without se0.25) and fix the stem at 32 channels."""
+    enc = get_encoder("timm-tf_efficientnet_lite4", depth=3)
+    x = jnp.ones((1, 32, 32, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("se_reduce" in n for n in names)
+    # non-lite b4 at the same depth does have SE
+    enc2 = get_encoder("efficientnet-b4", depth=3)
+    v2 = enc2.init({"params": jax.random.PRNGKey(0)}, x, False)
+    flat2 = jax.tree_util.tree_leaves_with_path(v2["params"])
+    assert any("se_reduce" in "/".join(str(k) for k in p) for p, _ in flat2)
 
 
 def test_family_encoder_trains_through_unet():

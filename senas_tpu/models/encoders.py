@@ -155,6 +155,34 @@ _ENCODERS = {
 }
 
 
+def _resolve_tu_alias(name: str, registries) -> Optional[str]:
+    """Map a ``tu-<timm_name>`` onto a natively-ported encoder.
+
+    The reference's TimmUniversalEncoder (encoders/timm_universal.py) is a
+    thin ``timm.create_model(features_only=True)`` wrapper whose forward
+    returns ``[x] + features`` — exactly the pyramid contract every native
+    encoder here already implements. So for any timm architecture that has
+    a native port, ``tu-<name>`` can resolve directly; only timm models
+    with no ported architecture remain gated (a pretrained-weight-registry
+    gap, not an architecture gap).
+    """
+    base = name[3:]
+    candidates = [base, f"timm-{base}"]
+    # timm underscore spellings -> smp registry spellings
+    if base.startswith("efficientnet_b"):
+        candidates.append("efficientnet-" + base[len("efficientnet_"):])
+    if base.startswith("seresnet"):
+        candidates.append("se_resnet" + base[len("seresnet"):])
+    if base.startswith("seresnext"):
+        candidates.append("se_resnext" + base[len("seresnext"):])
+    if base.startswith("mobilenetv2"):
+        candidates.append("mobilenet_v2")
+    for cand in candidates:
+        if cand in _ENCODERS or any(cand in r for r in registries):
+            return cand
+    return None
+
+
 def get_encoder(name: str, depth: int = 5, dtype=None,
                 dilate_last: bool = False) -> nn.Module:
     if name in _ENCODERS:
@@ -173,12 +201,19 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
         entry = next(r[name] for r in registries if name in r)
         return entry["cls"](depth=depth, dtype=dtype, name="encoder",
                             **entry["kw"])
+    if name.startswith("tu-"):
+        resolved = _resolve_tu_alias(name, registries)
+        if resolved is not None:
+            return get_encoder(resolved, depth=depth, dtype=dtype,
+                               dilate_last=dilate_last)
     if any(name.startswith(f) for f in GATED_FAMILIES):
         raise KeyError(
-            f"encoder family of {name!r} wraps the timm model registry "
-            "(TimmUniversalEncoder / timm-* wrappers), which is not "
-            "available in this environment; see "
-            "senas_tpu/models/encoders_extra.py GATED_FAMILIES")
+            f"{name!r} names a timm model with no natively-ported "
+            "architecture; the timm pretrained registry "
+            "(TimmUniversalEncoder) is not available in this environment. "
+            "tu-<name> works for every natively-ported architecture "
+            "(e.g. tu-resnet34, tu-resnest50d, tu-tf_efficientnet_lite0); "
+            "see senas_tpu/models/encoders_extra.py GATED_FAMILIES")
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS as _E
     raise KeyError(
         f"unknown encoder {name!r}; available: "

@@ -68,11 +68,28 @@ def test_unet_runs_on_extra_encoder():
 
 
 def test_gated_families_raise():
-    # every timm architecture family is natively ported; only the tu-
-    # universal registry wrapper (a pretrained-weight loader, not an
-    # architecture) remains gated
+    # every timm architecture family is natively ported; tu- resolves
+    # through the native registries and only gates timm models with no
+    # ported architecture (timm_universal.py is a pretrained-registry
+    # wrapper, not an architecture)
     with pytest.raises(KeyError, match="timm"):
-        get_encoder("tu-resnet34")
+        get_encoder("tu-swin_base_patch4_window7_224")
+
+
+def test_tu_alias_resolves_native_architectures():
+    """tu-<timm_name> builds the natively-ported architecture with the
+    same pyramid the TimmUniversalEncoder would produce (timm_universal.py:
+    forward returns [x] + features)."""
+    cases = {
+        "tu-resnet34": (3, 64, 64, 128, 256, 512),
+        "tu-resnest14d": (3, 64, 256, 512, 1024, 2048),
+        "tu-tf_efficientnet_lite0": (3, 32, 24, 40, 112, 320),
+        "tu-efficientnet_b0": (3, 32, 24, 40, 112, 320),
+        "tu-seresnet50": (3, 64, 256, 512, 1024, 2048),
+    }
+    from senas_tpu.models.encoders import encoder_out_channels
+    for name, expected in cases.items():
+        assert encoder_out_channels(name) == expected, name
 
 
 # smp timm_efficientnet.py:156-383 out_channels contracts

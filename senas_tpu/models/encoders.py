@@ -20,6 +20,25 @@ from senas_tpu.ops.primitives import (BasicBlock, build_norm, conv2d,
                                       kaiming_normal, max_pool_3x3, relu)
 
 
+def stage_dilation(stage: int, output_stride: int) -> int:
+    """Dilation rate smp's ``EncoderMixin.make_dilated`` assigns to the
+    1-based pyramid `stage` (reference encoders/_base.py:35-53): output
+    stride 16 dilates stage 5 with rate 2; output stride 8 dilates stages
+    4 and 5 with rates 2 and 4. Returns 1 for untouched stages. The
+    patched semantics (`replace_strides_with_dilation`, _utils.py:48-60)
+    are: every conv in the stage gets stride 1, the stage's dilation rate,
+    and torch-style padding (k//2)*rate; pooling layers are untouched.
+    """
+    if output_stride == 32:
+        return 1
+    if output_stride == 16:
+        return 2 if stage == 5 else 1
+    if output_stride == 8:
+        return {4: 2, 5: 4}.get(stage, 1)
+    raise ValueError(
+        "Output stride should be 16 or 8, got {}.".format(output_stride))
+
+
 class Bottleneck(nn.Module):
     """torchvision-style Bottleneck (1x1 -> 3x3(groups) -> 1x1, expansion 4).
 
@@ -78,8 +97,12 @@ class ResNetEncoder(nn.Module):
     groups: int = 1                # ResNeXt cardinality (bottleneck only)
     width_per_group: int = 64      # ResNeXt width (bottleneck only)
     # dilate_last replaces the final stage's stride with dilation 2
-    # (smp encoder.make_dilated for output_stride=16, used by DeepLabV3+)
+    # (smp encoder.make_dilated for output_stride=16, used by DeepLabV3+);
+    # kept as a back-compat alias for output_stride=16
     dilate_last: bool = False
+    # full make_dilated surface: 32 (none), 16 (stage 5 rate 2) or
+    # 8 (stage 4 rate 2 + stage 5 rate 4)
+    output_stride: int = 32
     dtype: Optional[Any] = None
 
     # channel plan per layer-group (expansion 1 for basic, 4 for bottleneck)
@@ -109,9 +132,11 @@ class ResNetEncoder(nn.Module):
                 stride = 1
             else:
                 stride = 2
-            dilation = 1
-            if self.dilate_last and stage == self.depth:
-                stride, dilation = 1, 2
+            os_ = 16 if (self.dilate_last and self.output_stride == 32) \
+                else self.output_stride
+            dilation = stage_dilation(stage, os_)
+            if dilation > 1:
+                stride = 1
             planes = widths[gi]
             for b in range(self.layers[gi]):
                 s = stride if b == 0 else 1
@@ -183,10 +208,37 @@ def _resolve_tu_alias(name: str, registries) -> Optional[str]:
     return None
 
 
+# reference error text for encoders whose make_dilated raises
+# (encoders/{densenet,vgg,inceptionv4,inceptionresnetv2,xception,
+#  timm_res2net,timm_resnest}.py)
+_DILATED_UNSUPPORTED_MSG = {
+    "DenseNetEncoder": "DenseNet encoders do not support dilated mode "
+                       "due to pooling operation for downsampling!",
+    "VGGEncoder": "'VGG' models do not support dilated mode due to Max "
+                  "Pooling operations for downsampling!",
+    "InceptionV4Encoder": "InceptionV4 encoder does not support dilated "
+                          "mode due to pooling operation for downsampling!",
+    "InceptionResNetV2Encoder": "InceptionResNetV2 encoder does not "
+                                "support dilated mode "
+                                "due to pooling operation for downsampling!",
+    "XceptionEncoder": "Xception encoder does not support dilated mode "
+                       "due to pooling operation for downsampling!",
+    "Res2NetEncoder": "Res2Net encoders do not support dilated mode",
+    "ResNestEncoder": "ResNest encoders do not support dilated mode",
+}
+
+
 def get_encoder(name: str, depth: int = 5, dtype=None,
-                dilate_last: bool = False) -> nn.Module:
+                dilate_last: bool = False,
+                output_stride: int = 32) -> nn.Module:
+    if dilate_last and output_stride == 32:
+        output_stride = 16
+    if output_stride not in (8, 16, 32):
+        raise ValueError(
+            "Output stride should be 16 or 8, got {}.".format(output_stride))
     if name in _ENCODERS:
-        return ResNetEncoder(depth=depth, dtype=dtype, dilate_last=dilate_last,
+        return ResNetEncoder(depth=depth, dtype=dtype,
+                             output_stride=output_stride,
                              name="encoder", **_ENCODERS[name])
     from senas_tpu.models.encoders_extra import EXTRA_ENCODERS, GATED_FAMILIES
     from senas_tpu.models.encoders_families import FAMILY_ENCODERS
@@ -196,16 +248,21 @@ def get_encoder(name: str, depth: int = 5, dtype=None,
     registries = (EXTRA_ENCODERS, FAMILY_ENCODERS, RESNEST_ENCODERS,
                   TIMM2_ENCODERS, MNV3_ENCODERS)
     if any(name in r for r in registries):
-        if dilate_last:
-            raise ValueError(f"{name!r} does not support dilated mode")
         entry = next(r[name] for r in registries if name in r)
-        return entry["cls"](depth=depth, dtype=dtype, name="encoder",
-                            **entry["kw"])
+        cls = entry["cls"]
+        dilatable = "output_stride" in cls.__dataclass_fields__
+        if output_stride != 32 and not dilatable:
+            raise ValueError(_DILATED_UNSUPPORTED_MSG.get(
+                cls.__name__, f"{name!r} does not support dilated mode"))
+        kw = dict(entry["kw"])
+        if dilatable:
+            kw["output_stride"] = output_stride
+        return cls(depth=depth, dtype=dtype, name="encoder", **kw)
     if name.startswith("tu-"):
         resolved = _resolve_tu_alias(name, registries)
         if resolved is not None:
             return get_encoder(resolved, depth=depth, dtype=dtype,
-                               dilate_last=dilate_last)
+                               output_stride=output_stride)
     if any(name.startswith(f) for f in GATED_FAMILIES):
         raise KeyError(
             f"{name!r} names a timm model with no natively-ported "

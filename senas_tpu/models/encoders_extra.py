@@ -16,6 +16,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from senas_tpu.models.encoders import stage_dilation
 from senas_tpu.ops.primitives import (avg_pool_3x3, build_norm, conv2d,
                                       kaiming_normal, max_pool_3x3, relu)
 from jax import lax
@@ -147,12 +148,17 @@ class _InvertedResidual(nn.Module):
     c_out: int
     stride: int
     expand: int
+    # >1 = block sits in a make_dilated-patched stage (conv strides 1,
+    # depthwise dilated; the residual condition keeps the ORIGINAL stride
+    # exactly as the patched torch module does)
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         hidden = c_in * self.expand
+        eff_stride = 1 if self.dilation > 1 else self.stride
         y = x
         if self.expand != 1:
             w = self.param("expand_conv", kaiming_normal,
@@ -163,7 +169,8 @@ class _InvertedResidual(nn.Module):
             y = nn.relu6(y)
         wd = self.param("dw_conv", kaiming_normal, (3, 3, 1, hidden),
                         jnp.float32)
-        y = conv2d(y, wd.astype(y.dtype), stride=self.stride, groups=hidden)
+        y = conv2d(y, wd.astype(y.dtype), stride=eff_stride, groups=hidden,
+                   dilation=self.dilation)
         y = build_norm(self.dtype, name="dw_bn")(y, use_running_average=not train)
         y = nn.relu6(y)
         wp = self.param("project_conv", kaiming_normal,
@@ -181,6 +188,9 @@ _MBV2_PLAN = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
               (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
 # smp stage boundaries: features at (3, 16, 24, 32, 96, 1280)
 _MBV2_STAGE_AFTER = {0: 1, 1: 2, 2: 3, 4: 4}  # plan index -> pyramid level
+# pyramid stage each plan group belongs to (mobilenet.py get_stages:
+# features[2:4]=stage2, [4:7]=stage3, [7:14]=stage4, [14:]=stage5)
+_MBV2_GROUP_STAGE = {0: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 5, 6: 5}
 
 
 class MobileNetV2Encoder(nn.Module):
@@ -188,6 +198,7 @@ class MobileNetV2Encoder(nn.Module):
     out_channels (3, 16, 24, 32, 96, 1280)."""
 
     depth: int = 5
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -202,9 +213,10 @@ class MobileNetV2Encoder(nn.Module):
         x = build_norm(self.dtype, name="stem_bn")(x, use_running_average=not train)
         x = nn.relu6(x)
         for pi, (t, c, n, s) in enumerate(_MBV2_PLAN):
+            rate = stage_dilation(_MBV2_GROUP_STAGE[pi], self.output_stride)
             for r in range(n):
                 x = _InvertedResidual(c, s if r == 0 else 1, t,
-                                      dtype=self.dtype,
+                                      dilation=rate, dtype=self.dtype,
                                       name=f"block{pi}_{r}")(x, train)
             if pi in _MBV2_STAGE_AFTER:
                 features.append(x)
@@ -282,6 +294,9 @@ class _MBConv(nn.Module):
     expand: int
     # lite (timm tf_efficientnet_lite*): relu6 instead of swish, no SE
     lite: bool = False
+    # >1 = block sits in a make_dilated-patched stage (conv strides 1,
+    # depthwise dilated; residual condition keeps the ORIGINAL stride)
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     def _act(self, y):
@@ -291,6 +306,7 @@ class _MBConv(nn.Module):
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         hidden = c_in * self.expand
+        eff_stride = 1 if self.dilation > 1 else self.stride
         y = x
         if self.expand != 1:
             w = self.param("expand_conv", kaiming_normal, (1, 1, c_in, hidden),
@@ -301,7 +317,8 @@ class _MBConv(nn.Module):
             y = self._act(y)
         wd = self.param("dw_conv", kaiming_normal,
                         (self.kernel, self.kernel, 1, hidden), jnp.float32)
-        y = conv2d(y, wd.astype(y.dtype), stride=self.stride, groups=hidden)
+        y = conv2d(y, wd.astype(y.dtype), stride=eff_stride, groups=hidden,
+                   dilation=self.dilation)
         y = build_norm(self.dtype, name="dw_bn")(y, use_running_average=not train)
         y = self._act(y)
         if not self.lite:
@@ -331,6 +348,8 @@ _EFFNET_PLAN = [(1, 16, 1, 3, 1), (6, 24, 2, 3, 2), (6, 40, 2, 5, 2),
                 (6, 320, 1, 3, 1)]
 # feature taps after these plan groups -> pyramid levels 2..5
 _EFFNET_STAGE_AFTER = {1: 2, 2: 3, 4: 4, 6: 5}
+# pyramid stage each plan group belongs to (efficientnet.py stage_idxs)
+_EFFNET_GROUP_STAGE = {0: 2, 1: 2, 2: 3, 3: 4, 4: 4, 5: 5, 6: 5}
 
 
 class EfficientNetEncoder(nn.Module):
@@ -348,6 +367,7 @@ class EfficientNetEncoder(nn.Module):
     depth_mult: float = 1.0
     depth: int = 5
     lite: bool = False
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -371,9 +391,11 @@ class EfficientNetEncoder(nn.Module):
                 n_rep = n
             else:
                 n_rep = _round_repeats(n, self.depth_mult)
+            rate = stage_dilation(_EFFNET_GROUP_STAGE[pi], self.output_stride)
             for r in range(n_rep):
                 x = _MBConv(c_out, k, s if r == 0 else 1, t, lite=self.lite,
-                            dtype=self.dtype, name=f"block{pi}_{r}")(x, train)
+                            dilation=rate, dtype=self.dtype,
+                            name=f"block{pi}_{r}")(x, train)
             if pi in _EFFNET_STAGE_AFTER:
                 features.append(x)
                 if len(features) > self.depth:

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from senas_tpu.models.encoders import stage_dilation
 from senas_tpu.ops.primitives import build_norm, kaiming_normal, relu
 
 Dtype = Any
@@ -151,11 +152,15 @@ class _SEBottleneck(nn.Module):
     reduction: int = 16
     base_width: int = 4
     downsample_kernel: int = 1
+    # >1 = block sits in a make_dilated-patched stage: every conv runs
+    # stride 1 with this dilation (smp encoders/_utils.py:48-60)
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_out = self.planes * 4
+        d = self.dilation
         if self.style == "senet":
             w1, w2, s1, s2, g = self.planes * 2, self.planes * 4, 1, self.stride, self.groups
         elif self.style == "resnet":
@@ -163,16 +168,19 @@ class _SEBottleneck(nn.Module):
         else:  # resnext
             width = math.floor(self.planes * (self.base_width / 64)) * self.groups
             w1, w2, s1, s2, g = width, width, 1, self.stride, self.groups
-        y = ConvBnAct(w1, kernel=1, stride=s1, dtype=self.dtype,
+        sd = self.stride
+        if d > 1:
+            s1 = s2 = sd = 1
+        y = ConvBnAct(w1, kernel=1, stride=s1, dilation=d, dtype=self.dtype,
                       name="conv1")(x, train)
-        y = ConvBnAct(w2, kernel=3, stride=s2, groups=g, dtype=self.dtype,
-                      name="conv2")(y, train)
-        y = ConvBnAct(c_out, kernel=1, act=False, dtype=self.dtype,
+        y = ConvBnAct(w2, kernel=3, stride=s2, groups=g, dilation=d,
+                      dtype=self.dtype, name="conv2")(y, train)
+        y = ConvBnAct(c_out, kernel=1, act=False, dilation=d, dtype=self.dtype,
                       name="conv3")(y, train)
         y = _SEModule(self.reduction, dtype=self.dtype, name="se")(y)
         if self.stride != 1 or x.shape[-1] != c_out:
             x = ConvBnAct(c_out, kernel=self.downsample_kernel,
-                          stride=self.stride, act=False, dtype=self.dtype,
+                          stride=sd, dilation=d, act=False, dtype=self.dtype,
                           name="downsample")(x, train)
         return relu(x + y)
 
@@ -188,6 +196,7 @@ class SENetEncoder(nn.Module):
     input_3x3: bool = False          # senet154 stem: 3x conv3x3 (64,64,128)
     downsample_kernel: int = 1       # senet154 uses 3 for layers 2-4
     depth: int = 5
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -212,6 +221,7 @@ class SENetEncoder(nn.Module):
                 # ceil_mode=True) — pad 0 + trailing partial window, i.e.
                 # asymmetric (0, 1) padding, NOT symmetric pad 1
                 x = _max_pool(x, 3, 2, (0, 1))
+            rate = stage_dilation(li + 2, self.output_stride)
             for b in range(n_blocks):
                 stride = 2 if (li > 0 and b == 0) else 1
                 # layer1 always uses a 1x1 downsample (pretrainedmodels
@@ -219,7 +229,8 @@ class SENetEncoder(nn.Module):
                 dk = 1 if li == 0 else self.downsample_kernel
                 x = _SEBottleneck(planes[li], self.style, stride=stride,
                                   groups=self.groups, reduction=self.reduction,
-                                  downsample_kernel=dk, dtype=self.dtype,
+                                  downsample_kernel=dk, dilation=rate,
+                                  dtype=self.dtype,
                                   name=f"layer{li + 1}_{b}")(x, train)
             features.append(x)
         return features[: self.depth + 1]
@@ -584,6 +595,7 @@ class _BnActConv(nn.Module):
     kernel: int = 1
     stride: int = 1
     groups: int = 1
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -593,8 +605,9 @@ class _BnActConv(nn.Module):
         w = self.param("kernel", kaiming_normal,
                        (self.kernel, self.kernel,
                         x.shape[-1] // self.groups, self.c_out), jnp.float32)
-        return _conv(x, w.astype(x.dtype), stride=self.stride,
-                     groups=self.groups)
+        return _conv(x, w.astype(x.dtype),
+                     stride=1 if self.dilation > 1 else self.stride,
+                     groups=self.groups, dilation=self.dilation)
 
 
 class _DualPathBlock(nn.Module):
@@ -609,23 +622,26 @@ class _DualPathBlock(nn.Module):
     groups: int
     block_type: str = "normal"
     b: bool = False
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x_in = jnp.concatenate(x, axis=-1) if isinstance(x, (list, tuple)) else x
         stride = 2 if self.block_type == "down" else 1
+        d = self.dilation
         has_proj = self.block_type in ("proj", "down")
         if has_proj:
             s = _BnActConv(self.num_1x1_c + 2 * self.inc, 1, stride,
-                           dtype=self.dtype, name="c1x1_w")(x_in, train)
+                           dilation=d, dtype=self.dtype,
+                           name="c1x1_w")(x_in, train)
             x_s1, x_s2 = s[..., : self.num_1x1_c], s[..., self.num_1x1_c:]
         else:
             x_s1, x_s2 = x
-        y = _BnActConv(self.num_1x1_a, 1, 1, dtype=self.dtype,
+        y = _BnActConv(self.num_1x1_a, 1, 1, dilation=d, dtype=self.dtype,
                        name="c1x1_a")(x_in, train)
         y = _BnActConv(self.num_3x3_b, 3, stride, groups=self.groups,
-                       dtype=self.dtype, name="c3x3_b")(y, train)
+                       dilation=d, dtype=self.dtype, name="c3x3_b")(y, train)
         if self.b:
             y = build_norm(self.dtype, name="cat_bn")(
                 y, use_running_average=not train)
@@ -658,6 +674,7 @@ class DPNEncoder(nn.Module):
     b: bool = False
     bw_factor_small: bool = True
     depth: int = 5
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -690,11 +707,12 @@ class DPNEncoder(nn.Module):
                 block_type = "proj"
             else:
                 block_type = "down"
+            rate = stage_dilation(gi + 2, self.output_stride)
             for bi in range(self.k_sec[gi]):
                 t = _DualPathBlock(
                     r, r, bw, inc, self.groups,
                     block_type=block_type if bi == 0 else "normal",
-                    b=self.b, dtype=self.dtype,
+                    b=self.b, dilation=rate, dtype=self.dtype,
                     name=f"group{gi}_block{bi}")(t, train)
             if gi == len(self.k_sec) - 1:
                 # final CatBnAct: BN + ReLU over the concatenated paths

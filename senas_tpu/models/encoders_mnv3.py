@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from senas_tpu.models.encoders import stage_dilation
 from senas_tpu.ops.primitives import build_norm, kaiming_normal, relu
 
 Dtype = Any
@@ -40,10 +41,12 @@ def hardsigmoid(x):
     return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
 
 
-def _conv_same(x, w, stride: int = 1, groups: int = 1):
+def _conv_same(x, w, stride: int = 1, groups: int = 1, dilation: int = 1):
     """TF 'same' padding (the tf_mobilenetv3 variants): symmetric k//2 at
-    stride 1; asymmetric (lo, hi) with hi = lo + 1 parity at stride 2."""
-    k = w.shape[0]
+    stride 1; asymmetric (lo, hi) with hi = lo + 1 parity at stride 2.
+    With dilation (make_dilated stages run stride 1), the effective kernel
+    (k-1)*d+1 keeps 'same' padding symmetric at (k//2)*d for odd k."""
+    k = (w.shape[0] - 1) * dilation + 1
     if stride == 1:
         p = (k // 2, k // 2)
     else:
@@ -51,6 +54,7 @@ def _conv_same(x, w, stride: int = 1, groups: int = 1):
         p = (total // 2, total - total // 2)
     return lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=(p, p),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
 
@@ -60,6 +64,7 @@ class _ConvBnAct(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    dilation: int = 1
     act: str = "hs"  # "hs" | "re" | none
     dtype: Optional[Dtype] = None
 
@@ -68,8 +73,9 @@ class _ConvBnAct(nn.Module):
         w = self.param("kernel", kaiming_normal,
                        (self.kernel, self.kernel, x.shape[-1] // self.groups,
                         self.c_out), jnp.float32)
-        x = _conv_same(x, w.astype(x.dtype), stride=self.stride,
-                       groups=self.groups)
+        x = _conv_same(x, w.astype(x.dtype),
+                       stride=1 if self.dilation > 1 else self.stride,
+                       groups=self.groups, dilation=self.dilation)
         x = build_norm(self.dtype, name="bn")(x, use_running_average=not train)
         if self.act == "hs":
             return hardswish(x)
@@ -87,6 +93,9 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     se: bool = False
     act: str = "hs"
+    # >1 = make_dilated-patched stage (conv strides 1, depthwise dilated;
+    # residual condition keeps the ORIGINAL stride like the patched module)
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -98,8 +107,8 @@ class InvertedResidual(nn.Module):
             y = _ConvBnAct(self.exp, 1, act=self.act, dtype=self.dtype,
                            name="expand")(y, train)
         y = _ConvBnAct(self.exp, self.kernel, stride=self.stride,
-                       groups=self.exp, act=self.act, dtype=self.dtype,
-                       name="dw")(y, train)
+                       groups=self.exp, dilation=self.dilation, act=self.act,
+                       dtype=self.dtype, name="dw")(y, train)
         if self.se:
             rd = _make_divisible(self.exp * 0.25)
             s = jnp.mean(y, axis=(1, 2), keepdims=True)
@@ -150,6 +159,7 @@ class MobileNetV3Encoder(nn.Module):
     width_mult: float = 1.0
     minimal: bool = False          # relu, no SE, 3x3 kernels
     depth: int = 5
+    output_stride: int = 32        # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @property
@@ -180,9 +190,10 @@ class MobileNetV3Encoder(nn.Module):
         x = _ConvBnAct(stem_c, 3, stride=2, act=act0, dtype=self.dtype,
                        name="stem")(x, train)
 
-        def run_stage(x, stage_idx):
+        def run_stage(x, stage_idx, rate=1):
             for bi, entry in enumerate(blocks[stage_idx]):
-                x = InvertedResidual(**spec(entry), dtype=self.dtype,
+                x = InvertedResidual(**spec(entry), dilation=rate,
+                                     dtype=self.dtype,
                                      name=f"b{stage_idx}_{bi}")(x, train)
             return x
 
@@ -200,8 +211,9 @@ class MobileNetV3Encoder(nn.Module):
         for gi, group in enumerate(plan):
             if len(features) > self.depth:
                 break
+            rate = stage_dilation(gi + 2, self.output_stride)
             for si in group:
-                x = run_stage(x, si)
+                x = run_stage(x, si, rate)
             if gi == len(plan) - 1:
                 x = _ConvBnAct(final_c, 1, act=act0, dtype=self.dtype,
                                name="final_conv")(x, train)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from senas_tpu.models.encoders import stage_dilation
 from senas_tpu.models.encoders_families import ConvBnAct, _conv, _max_pool
 from senas_tpu.models.encoders_resnest import _avg_pool
 from senas_tpu.ops.primitives import kaiming_normal, relu
@@ -185,16 +186,21 @@ class RegNetBlock(nn.Module):
     group_width: int = 8
     bottle_ratio: float = 1.0
     se_ratio: float = 0.0
+    # >1 = block sits in a make_dilated-patched stage: every conv runs
+    # stride 1 with this dilation (smp encoders/_utils.py:48-60)
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w_b = int(round(self.w_out * self.bottle_ratio))
         groups = w_b // self.group_width
+        d = self.dilation
+        eff_stride = 1 if d > 1 else self.stride
         residual = x
         out = ConvBnAct(w_b, 1, padding=(0, 0), dtype=self.dtype,
                         name="conv1")(x, train)
-        out = ConvBnAct(w_b, 3, stride=self.stride, groups=groups,
+        out = ConvBnAct(w_b, 3, stride=eff_stride, groups=groups, dilation=d,
                         dtype=self.dtype, name="conv2")(out, train)
         if self.se_ratio > 0:
             # SE on the block INPUT width (timm: rd_channels from in_chs)
@@ -214,7 +220,7 @@ class RegNetBlock(nn.Module):
         out = ConvBnAct(self.w_out, 1, padding=(0, 0), act=False,
                         dtype=self.dtype, name="conv3")(out, train)
         if self.stride != 1 or x.shape[-1] != self.w_out:
-            residual = ConvBnAct(self.w_out, 1, stride=self.stride,
+            residual = ConvBnAct(self.w_out, 1, stride=eff_stride,
                                  padding=(0, 0), act=False, dtype=self.dtype,
                                  name="downsample")(x, train)
         return relu(out + residual)
@@ -233,6 +239,7 @@ class RegNetEncoder(nn.Module):
     bottle_ratio: float = 1.0
     stem_width: int = 32
     depth: int = 5
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @property
@@ -257,10 +264,12 @@ class RegNetEncoder(nn.Module):
         for si, (w, d, g) in enumerate(stages):
             if len(features) > self.depth:
                 break
+            rate = stage_dilation(si + 2, self.output_stride)
             for bi in range(d):
                 x = RegNetBlock(w, stride=2 if bi == 0 else 1, group_width=g,
                                 bottle_ratio=self.bottle_ratio,
-                                se_ratio=self.se_ratio, dtype=self.dtype,
+                                se_ratio=self.se_ratio, dilation=rate,
+                                dtype=self.dtype,
                                 name=f"s{si + 1}_b{bi}")(x, train)
             features.append(x)
         return features[: self.depth + 1]
@@ -317,6 +326,10 @@ class SelectiveKernel(nn.Module):
     groups: int = 1
     rd_ratio: float = 1.0 / 16
     split_input: bool = True
+    # >1 = make_dilated-patched stage. NOTE the reference patches BOTH SK
+    # paths to the SAME stage dilation (replace_strides_with_dilation sets
+    # every Conv2d, flattening the (1, 2) path pair) — reproduced exactly.
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -328,8 +341,10 @@ class SelectiveKernel(nn.Module):
             inputs = [x[..., :c], x[..., c:]]
         else:
             inputs = [x, x]
-        for i, (xin, d) in enumerate(zip(inputs, (1, 2))):
-            paths.append(ConvBnAct(self.c_out, 3, stride=self.stride,
+        path_dil = (1, 2) if self.dilation == 1 else (self.dilation,) * 2
+        eff_stride = 1 if self.dilation > 1 else self.stride
+        for i, (xin, d) in enumerate(zip(inputs, path_dil)):
+            paths.append(ConvBnAct(self.c_out, 3, stride=eff_stride,
                                    groups=self.groups, dilation=d,
                                    dtype=self.dtype, name=f"path{i}")(xin, train))
         stacked = jnp.stack(paths, axis=-2)  # [B,H,W,P,C]
@@ -354,19 +369,23 @@ class SelectiveKernelBasic(nn.Module):
     stride: int = 1
     rd_ratio: float = 1.0 / 8
     use_downsample: bool = False
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dilation
+        eff_stride = 1 if d > 1 else self.stride
         residual = x
         out = SelectiveKernel(self.planes, stride=self.stride,
                               rd_ratio=self.rd_ratio, split_input=True,
-                              dtype=self.dtype, name="conv1")(x, train)
+                              dilation=d, dtype=self.dtype,
+                              name="conv1")(x, train)
         out = relu(out)
-        out = ConvBnAct(self.planes, 3, act=False, dtype=self.dtype,
-                        name="conv2")(out, train)
+        out = ConvBnAct(self.planes, 3, act=False, dilation=d,
+                        dtype=self.dtype, name="conv2")(out, train)
         if self.use_downsample:
-            residual = ConvBnAct(self.planes, 1, stride=self.stride,
+            residual = ConvBnAct(self.planes, 1, stride=eff_stride,
                                  padding=(0, 0), act=False, dtype=self.dtype,
                                  name="downsample")(x, train)
         return relu(out + residual)
@@ -378,6 +397,7 @@ class SelectiveKernelBottleneck(nn.Module):
     cardinality: int = 32
     base_width: int = 4
     use_downsample: bool = False
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     expansion = 4
@@ -385,18 +405,21 @@ class SelectiveKernelBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.cardinality
+        d = self.dilation
+        eff_stride = 1 if d > 1 else self.stride
         residual = x
         out = ConvBnAct(width, 1, padding=(0, 0), dtype=self.dtype,
                         name="conv1")(x, train)
         out = SelectiveKernel(width, stride=self.stride,
                               groups=self.cardinality, split_input=True,
-                              dtype=self.dtype, name="conv2")(out, train)
+                              dilation=d, dtype=self.dtype,
+                              name="conv2")(out, train)
         out = relu(out)
         out = ConvBnAct(self.planes * self.expansion, 1, padding=(0, 0),
                         act=False, dtype=self.dtype, name="conv3")(out, train)
         if self.use_downsample:
             residual = ConvBnAct(self.planes * self.expansion, 1,
-                                 stride=self.stride, padding=(0, 0),
+                                 stride=eff_stride, padding=(0, 0),
                                  act=False, dtype=self.dtype,
                                  name="downsample")(x, train)
         return relu(out + residual)
@@ -411,6 +434,7 @@ class SkNetEncoder(nn.Module):
     depth: int = 5
     cardinality: int = 32
     base_width: int = 4
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @property
@@ -431,19 +455,22 @@ class SkNetEncoder(nn.Module):
                 break
             if li == 0:
                 x = _max_pool(x, 3, 2, 1)
+            rate = stage_dilation(li + 2, self.output_stride)
             for bi in range(n_blocks):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 if self.block == "basic":
                     need_ds = stride != 1 or x.shape[-1] != planes[li]
                     x = SelectiveKernelBasic(
                         planes[li], stride=stride, use_downsample=need_ds,
-                        dtype=self.dtype, name=f"layer{li + 1}_{bi}")(x, train)
+                        dilation=rate, dtype=self.dtype,
+                        name=f"layer{li + 1}_{bi}")(x, train)
                 else:
                     need_ds = stride != 1 or x.shape[-1] != planes[li] * 4
                     x = SelectiveKernelBottleneck(
                         planes[li], stride=stride, cardinality=self.cardinality,
                         base_width=self.base_width, use_downsample=need_ds,
-                        dtype=self.dtype, name=f"layer{li + 1}_{bi}")(x, train)
+                        dilation=rate, dtype=self.dtype,
+                        name=f"layer{li + 1}_{bi}")(x, train)
             features.append(x)
         return features[: self.depth + 1]
 
@@ -465,17 +492,20 @@ SKNET_ENCODERS = {
 class ByoBasicBlock(nn.Module):
     c_out: int
     stride: int = 1
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dilation
+        eff_stride = 1 if d > 1 else self.stride
         residual = x
-        out = ConvBnAct(self.c_out, 3, stride=self.stride, dtype=self.dtype,
-                        name="conv1")(x, train)
-        out = ConvBnAct(self.c_out, 3, act=False, dtype=self.dtype,
-                        name="conv2")(out, train)
+        out = ConvBnAct(self.c_out, 3, stride=eff_stride, dilation=d,
+                        dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBnAct(self.c_out, 3, act=False, dilation=d,
+                        dtype=self.dtype, name="conv2")(out, train)
         if self.stride != 1 or x.shape[-1] != self.c_out:
-            residual = ConvBnAct(self.c_out, 1, stride=self.stride,
+            residual = ConvBnAct(self.c_out, 1, stride=eff_stride,
                                  padding=(0, 0), act=False, dtype=self.dtype,
                                  name="shortcut")(x, train)
         return relu(out + residual)
@@ -489,21 +519,24 @@ class ByoBottleBlock(nn.Module):
     stride: int = 1
     bottle_ratio: float = 1.0
     group_size: int = 0  # 0 = one group; 1 = depthwise
+    dilation: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = _make_divisible(self.c_out * self.bottle_ratio)
         groups = mid // self.group_size if self.group_size else 1
+        d = self.dilation
+        eff_stride = 1 if d > 1 else self.stride
         residual = x
         out = ConvBnAct(mid, 1, padding=(0, 0), dtype=self.dtype,
                         name="conv1")(x, train)
-        out = ConvBnAct(mid, 3, stride=self.stride, groups=groups,
+        out = ConvBnAct(mid, 3, stride=eff_stride, groups=groups, dilation=d,
                         dtype=self.dtype, name="conv2")(out, train)
         out = ConvBnAct(self.c_out, 1, padding=(0, 0), act=False,
                         dtype=self.dtype, name="conv3")(out, train)
         if self.stride != 1 or x.shape[-1] != self.c_out:
-            residual = ConvBnAct(self.c_out, 1, stride=self.stride,
+            residual = ConvBnAct(self.c_out, 1, stride=eff_stride,
                                  padding=(0, 0), act=False, dtype=self.dtype,
                                  name="shortcut")(x, train)
         return relu(out + residual)
@@ -517,6 +550,7 @@ class GERNetEncoder(nn.Module):
     stem_chs: int
     num_features: int
     depth: int = 5
+    output_stride: int = 32          # make_dilated surface (32 | 16 | 8)
     dtype: Optional[Dtype] = None
 
     @property
@@ -537,14 +571,18 @@ class GERNetEncoder(nn.Module):
         for si, (btype, d, c, s, gs, br) in enumerate(self.blocks):
             if len(features) > self.depth:
                 break
+            # byob stages 3+4 (and the final 1x1) fold into pyramid stage 5
+            rate = stage_dilation(min(si + 2, 5), self.output_stride)
             for bi in range(d):
                 stride = s if bi == 0 else 1
                 if btype == "basic":
-                    x = ByoBasicBlock(c, stride=stride, dtype=self.dtype,
+                    x = ByoBasicBlock(c, stride=stride, dilation=rate,
+                                      dtype=self.dtype,
                                       name=f"s{si}_b{bi}")(x, train)
                 else:
                     x = ByoBottleBlock(c, stride=stride, bottle_ratio=br,
-                                       group_size=gs, dtype=self.dtype,
+                                       group_size=gs, dilation=rate,
+                                       dtype=self.dtype,
                                        name=f"s{si}_b{bi}")(x, train)
             # smp folds stages 3, 4 and the final conv into ONE feature level
             if si < 3:

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from senas_tpu.models.base import (Attention, Conv2dReLU, SegmentationHead,
                                    upsample_bilinear, upsample_nearest2x)
-from senas_tpu.models.encoders import ResNetEncoder, get_encoder
+from senas_tpu.models.encoders import get_encoder
 from senas_tpu.ops.primitives import (build_norm, conv2d, conv_transpose2d,
                                       kaiming_normal, max_pool_2x2, relu)
 
@@ -475,10 +475,13 @@ class DeepLabV3Plus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        enc = ResNetEncoder(layers={"resnet10": (1, 1, 1, 1), "resnet18": (2, 2, 2, 2),
-                                    "resnet34": (3, 4, 6, 3)}[self.encoder_name],
-                            depth=self.encoder_depth, dtype=self.dtype,
-                            dilate_last=self.output_stride == 16, name="encoder")
+        # smp DeepLabV3Plus: any dilatable encoder, output stride 8 or 16
+        # (deeplabv3/model.py:128-141 + encoder.make_dilated)
+        if self.output_stride not in (8, 16):
+            raise ValueError("Encoder output stride should be 8 or 16, "
+                             "got {}".format(self.output_stride))
+        enc = get_encoder(self.encoder_name, self.encoder_depth,
+                          dtype=self.dtype, output_stride=self.output_stride)
         feats = enc(x, train)
         y = ASPP(self.decoder_channels, self.atrous_rates, separable=True,
                  dtype=self.dtype)(feats[-1], train)
@@ -581,9 +584,12 @@ class PAN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.encoder_output_stride not in (16, 32):
+            raise ValueError("PAN support output stride 16 or 32, got "
+                             "{}".format(self.encoder_output_stride))
         feats = get_encoder(self.encoder_name, self.encoder_depth,
                             self.dtype,
-                            dilate_last=self.encoder_output_stride == 16)(x, train)
+                            output_stride=self.encoder_output_stride)(x, train)
         y = FPABlock(self.decoder_channels, dtype=self.dtype)(feats[-1], train)
         y = GAUBlock(self.decoder_channels, dtype=self.dtype,
                      name="gau3")(feats[-2], y, train)

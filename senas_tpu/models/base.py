@@ -109,12 +109,61 @@ def upsample_bilinear(x, factor: int):
     return top * (1 - wy) + bot * wy
 
 
+def smp_activation(name: Optional[str]):
+    """smp's `Activation` dispatch (base/modules.py:76-105) as a pure fn.
+
+    Channel-axis activations translate NCHW dim=1 to NHWC axis=-1.
+    torch's implicit-softmax-dim rule (`nn.Softmax()` with no dim) picks
+    dim 1 for 2D/4D tensors — channels in both our layouts — so plain
+    "softmax" and "softmax2d" coincide, exactly as they do in torch.
+    """
+    if name is None or name == "identity":
+        return lambda x: x
+    if name == "sigmoid":
+        return nn.sigmoid
+    if name in ("softmax", "softmax2d"):
+        return lambda x: nn.softmax(x, axis=-1)
+    if name == "logsoftmax":
+        return lambda x: nn.log_softmax(x, axis=-1)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "argmax":
+        # ArgMax(dim=None) == torch.argmax over the fully-flattened tensor
+        return jnp.argmax
+    if name == "argmax2d":
+        return lambda x: jnp.argmax(x, axis=-1)
+    if callable(name):
+        return name
+    raise ValueError(
+        "Activation should be callable/sigmoid/softmax/logsoftmax/tanh/"
+        "None; got {}".format(name))
+
+
+def model_output(model, masks, encoder_features, train: bool = False):
+    """Reference SegmentationModel.forward tail (base/model.py:13-24):
+    plain models return masks; with `aux_params` set, a ClassificationHead
+    over the deepest encoder feature is added and (masks, labels) is
+    returned. Masks stay wrapped in the repo's deep-supervision list.
+
+    Called from inside a model's @nn.compact __call__, so the
+    ClassificationHead submodule binds to that model's scope.
+    """
+    if getattr(model, "aux_params", None) is None:
+        return [masks]
+    labels = ClassificationHead(**model.aux_params, dtype=model.dtype,
+                                name="classification_head")(
+                                    encoder_features[-1], train)
+    return [masks], labels
+
+
 class SegmentationHead(nn.Module):
-    """3x3 conv (+bias) -> optional bilinear upsample (heads.py:5-11)."""
+    """3x3 conv (+bias) -> optional bilinear upsample -> optional
+    activation (heads.py:5-11)."""
 
     classes: int
     kernel_size: int = 3
     upsampling: int = 1
+    activation: Optional[Any] = None
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -126,23 +175,30 @@ class SegmentationHead(nn.Module):
         x = conv2d(x, w.astype(x.dtype)) + b.astype(x.dtype)
         if self.upsampling > 1:
             x = upsample_bilinear(x, self.upsampling)
-        return x
+        return smp_activation(self.activation)(x)
 
 
 class ClassificationHead(nn.Module):
-    """avg/max pool -> dropout -> linear (heads.py:14-25)."""
+    """avg/max pool -> dropout -> linear -> optional activation
+    (heads.py:14-25)."""
 
     classes: int
     pooling: str = "avg"
     dropout: float = 0.2
+    activation: Optional[Any] = None
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.pooling not in ("max", "avg"):
+            raise ValueError("Pooling should be one of ('max', 'avg'), "
+                             "got {}.".format(self.pooling))
         if self.pooling == "avg":
             y = jnp.mean(x, axis=(1, 2))
         else:
             y = jnp.max(x, axis=(1, 2))
         if self.dropout and train:
             y = nn.Dropout(self.dropout)(y, deterministic=not train)
-        return nn.Dense(self.classes, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = nn.Dense(self.classes, kernel_init=xavier_uniform,
+                     dtype=self.dtype)(y)
+        return smp_activation(self.activation)(y)

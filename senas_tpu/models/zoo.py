@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from senas_tpu.models.base import (Attention, Conv2dReLU, SegmentationHead,
-                                   upsample_bilinear, upsample_nearest2x)
+                                   model_output, upsample_bilinear,
+                                   upsample_nearest2x)
 from senas_tpu.models.encoders import get_encoder
 from senas_tpu.ops.primitives import (build_norm, conv2d, conv_transpose2d,
                                       kaiming_normal, max_pool_2x2, relu)
@@ -74,20 +75,24 @@ class Unet(nn.Module):
     encoder_depth: int = 5
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_attention_type: Optional[str] = None
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = get_encoder(self.encoder_name, self.encoder_depth,
-                            self.dtype)(x, train)
-        feats = feats[1:][::-1]
+        enc_feats = get_encoder(self.encoder_name, self.encoder_depth,
+                                self.dtype)(x, train)
+        feats = enc_feats[1:][::-1]
         head, skips = feats[0], feats[1:]
         y = head
         for i, c_out in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
             y = UnetDecoderBlock(c_out, self.decoder_attention_type,
                                  dtype=self.dtype, name=f"dec_{i}")(y, skip, train)
-        return [SegmentationHead(self.classes, dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, enc_feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +106,8 @@ class UnetPlusPlus(nn.Module):
     encoder_depth: int = 5
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_attention_type: Optional[str] = None
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -141,7 +148,9 @@ class UnetPlusPlus(nn.Module):
                         dense[f"x_{depth_idx}_{dense_l_i - 1}"], cat, train)
         y = block(f"0_{depth}", out_channels[-1])(dense[f"x_0_{depth - 1}"],
                                                   None, train)
-        return [SegmentationHead(self.classes, dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, enc_feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -229,13 +238,15 @@ class MAnet(nn.Module):
     encoder_depth: int = 5
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     pab_channels: int = 64
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = get_encoder(self.encoder_name, self.encoder_depth,
-                            self.dtype)(x, train)
-        feats = feats[1:][::-1]
+        enc_feats = get_encoder(self.encoder_name, self.encoder_depth,
+                                self.dtype)(x, train)
+        feats = enc_feats[1:][::-1]
         head, skips = feats[0], feats[1:]
         y = PAB(self.pab_channels, dtype=self.dtype)(head)
         for i, c_out in enumerate(self.decoder_channels):
@@ -245,7 +256,9 @@ class MAnet(nn.Module):
             else:
                 y = UnetDecoderBlock(c_out, dtype=self.dtype,
                                      name=f"dec_{i}")(y, None, train)
-        return [SegmentationHead(self.classes, dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, enc_feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -280,13 +293,15 @@ class Linknet(nn.Module):
     encoder_name: str = "resnet10"
     encoder_depth: int = 5
     prefinal_channels: int = 32
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = get_encoder(self.encoder_name, self.encoder_depth,
-                            self.dtype)(x, train)
-        feats = feats[1:][::-1]
+        enc_feats = get_encoder(self.encoder_name, self.encoder_depth,
+                                self.dtype)(x, train)
+        feats = enc_feats[1:][::-1]
         enc_ch = [f.shape[-1] for f in feats]
         channels = enc_ch + [self.prefinal_channels]
         y = feats[0]
@@ -295,7 +310,9 @@ class Linknet(nn.Module):
             skip = skips[i] if i < len(skips) else None
             y = LinknetBlock(channels[i + 1], dtype=self.dtype,
                              name=f"dec_{i}")(y, skip, train)
-        return [SegmentationHead(self.classes, dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, enc_feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -330,6 +347,8 @@ class FPN(nn.Module):
     segmentation_channels: int = 128
     merge_policy: str = "add"
     upsampling: int = 4
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -359,8 +378,10 @@ class FPN(nn.Module):
                                   dtype=self.dtype, name=f"seg_{i}_{j}")(y)
             outs.append(y)
         y = sum(outs) if self.merge_policy == "add" else jnp.concatenate(outs, -1)
-        return [SegmentationHead(self.classes, upsampling=self.upsampling,
-                                 dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, upsampling=self.upsampling,
+                                 activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +395,8 @@ class PSPNet(nn.Module):
     encoder_depth: int = 5
     psp_out_channels: int = 512
     upsampling: int = 8
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -398,8 +421,10 @@ class PSPNet(nn.Module):
         y = jnp.concatenate(branches + [y], axis=-1)
         y = Conv2dReLU(self.psp_out_channels, kernel_size=1,
                        dtype=self.dtype)(y, train)
-        return [SegmentationHead(self.classes, upsampling=self.upsampling,
-                                 dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, upsampling=self.upsampling,
+                                 activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +496,8 @@ class DeepLabV3Plus(nn.Module):
     atrous_rates: Tuple[int, int, int] = (12, 24, 36)
     output_stride: int = 16
     upsampling: int = 4
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -496,8 +523,10 @@ class DeepLabV3Plus(nn.Module):
         y = jnp.concatenate([y, high], axis=-1)
         y = _SeparableConvBnReLU(self.decoder_channels, dtype=self.dtype,
                                  name="fuse")(y, train)
-        return [SegmentationHead(self.classes, upsampling=self.upsampling,
-                                 dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, upsampling=self.upsampling,
+                                 activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, feats, train)
 
 
 # ---------------------------------------------------------------------------
@@ -580,6 +609,8 @@ class PAN(nn.Module):
     encoder_output_stride: int = 16
     decoder_channels: int = 32
     upsampling: int = 4
+    activation: Optional[Any] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -597,5 +628,7 @@ class PAN(nn.Module):
                      name="gau2")(feats[-3], y, train)
         y = GAUBlock(self.decoder_channels, dtype=self.dtype,
                      name="gau1")(feats[-4], y, train)
-        return [SegmentationHead(self.classes, upsampling=self.upsampling,
-                                 dtype=self.dtype)(y)]
+        masks = SegmentationHead(self.classes, upsampling=self.upsampling,
+                                 activation=self.activation,
+                                 dtype=self.dtype)(y)
+        return model_output(self, masks, feats, train)

@@ -458,25 +458,38 @@ def test_pspnet_matches_vendored_smp(smp_mods):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
-def test_deeplabv3plus_matches_vendored_smp(smp_mods):
-    """ASPP separable convs + dilated encoder stage + align-corners ups."""
+@pytest.mark.parametrize("output_stride", [16, 8])
+def test_deeplabv3plus_matches_vendored_smp(smp_mods, output_stride):
+    """ASPP separable convs + dilated encoder stage(s) + align-corners ups.
+
+    output_stride=16 patches stage 5 (rate 2); output_stride=8 patches
+    stages 4 and 5 with rates 2 and 4 (encoders/_base.py:35-53).
+    """
     md, heads, _ = smp_mods
     ddec = _load_decoder("deeplabv3")
     from senas_tpu.models.zoo import DeepLabV3Plus
 
     torch.manual_seed(4)
     enc = _ResNet10Encoder()
-    # smp make_dilated(output_stride=16): patch EVERY conv of the last stage
+
+    # smp make_dilated: patch EVERY conv of the dilated stage(s)
     # (encoders/_utils.py:48-56)
-    for mod in enc.layer4.modules():
-        if isinstance(mod, tnn.Conv2d):
-            mod.stride = (1, 1)
-            mod.dilation = (2, 2)
-            kh = mod.kernel_size[0]
-            mod.padding = ((kh // 2) * 2, (kh // 2) * 2)
+    def dilate(layer, rate):
+        for mod in layer.modules():
+            if isinstance(mod, tnn.Conv2d):
+                mod.stride = (1, 1)
+                mod.dilation = (rate, rate)
+                kh = mod.kernel_size[0]
+                mod.padding = ((kh // 2) * rate, (kh // 2) * rate)
+
+    if output_stride == 16:
+        dilate(enc.layer4, 2)
+    else:
+        dilate(enc.layer3, 2)
+        dilate(enc.layer4, 4)
     decoder = ddec.DeepLabV3PlusDecoder(
         encoder_channels=(3, 64, 64, 128, 256, 512), out_channels=256,
-        atrous_rates=(12, 24, 36), output_stride=16)
+        atrous_rates=(12, 24, 36), output_stride=output_stride)
     head = heads.SegmentationHead(256, 2, kernel_size=3, upsampling=4)
     for m in (enc, decoder, head):
         m.eval()
@@ -489,7 +502,7 @@ def test_deeplabv3plus_matches_vendored_smp(smp_mods):
     ref = np.transpose(out_t.numpy(), (0, 2, 3, 1))
 
     ours = DeepLabV3Plus(classes=2, in_channels=3, encoder_name="resnet10",
-                         encoder_depth=5)
+                         encoder_depth=5, output_stride=output_stride)
     variables = ours.init({"params": jax.random.PRNGKey(0)},
                           jnp.asarray(x), False)
 

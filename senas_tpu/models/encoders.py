@@ -228,9 +228,31 @@ _DILATED_UNSUPPORTED_MSG = {
 }
 
 
+def get_encoder_names():
+    """All registered encoder names (smp encoders/__init__.py:85-86)."""
+    from senas_tpu.models.encoders_extra import EXTRA_ENCODERS
+    from senas_tpu.models.encoders_families import FAMILY_ENCODERS
+    from senas_tpu.models.encoders_resnest import RESNEST_ENCODERS
+    from senas_tpu.models.encoders_mnv3 import MNV3_ENCODERS
+    from senas_tpu.models.encoders_timm2 import TIMM2_ENCODERS
+    names = list(_ENCODERS)
+    for r in (EXTRA_ENCODERS, FAMILY_ENCODERS, RESNEST_ENCODERS,
+              TIMM2_ENCODERS, MNV3_ENCODERS):
+        names.extend(r)
+    return names
+
+
 def get_encoder(name: str, depth: int = 5, dtype=None,
                 dilate_last: bool = False,
-                output_stride: int = 32) -> nn.Module:
+                output_stride: int = 32,
+                weights: Optional[str] = None) -> nn.Module:
+    if weights is not None:
+        # smp loads ImageNet weights by URL here (encoders/__init__.py:64-71);
+        # impossible in this zero-egress image — fail loudly, not silently
+        raise ValueError(
+            f"pretrained weights {weights!r} are unavailable in this "
+            "environment (no network egress); pass weights=None and "
+            "initialize randomly, exactly as the reference does offline")
     if dilate_last and output_stride == 32:
         output_stride = 16
     if output_stride not in (8, 16, 32):

@@ -349,3 +349,22 @@ def test_efficientnet_large_variants(name, table):
     feats = enc.apply(variables, x, False)
     for level, f in enumerate(feats):
         assert f.shape[-1] == table[level], (name, level, f.shape)
+
+
+def test_get_encoder_names_covers_reference_registry():
+    """Every name smp's registry exposes (encoders/__init__.py:26-44)
+    resolves here; weights!=None fails loudly (zero-egress)."""
+    from senas_tpu.models.encoders import get_encoder_names
+
+    names = set(get_encoder_names())
+    # spot anchors from each reference family file
+    for ref_name in ("resnet10", "resnet152", "resnext101_32x48d", "vgg19_bn",
+                     "densenet161", "se_resnext101_32x4d", "senet154",
+                     "xception", "inceptionv4", "inceptionresnetv2", "dpn131",
+                     "mobilenet_v2", "efficientnet-b7", "timm-efficientnet-l2",
+                     "timm-resnest269e", "timm-res2net50_48w_2s",
+                     "timm-regnety_320", "timm-skresnext50_32x4d",
+                     "timm-mobilenetv3_small_minimal_100", "timm-gernet_l"):
+        assert ref_name in names, ref_name
+    with pytest.raises(ValueError, match="zero-egress|no network egress"):
+        get_encoder("resnet18", weights="imagenet")

@@ -726,3 +726,79 @@ def test_unetplusplus_matches_vendored_smp(smp_mods):
 
     out = ours.apply(translated, jnp.asarray(x), False)[-1]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unet_gradient_parity_vs_vendored_smp(smp_mods):
+    """Full-tree d(loss)/d(params) parity for the zoo path.
+
+    The logits tests above pin the forward; this pins the backward: CE loss
+    on an identical batch, torch autograd vs jax.grad, compared over EVERY
+    parameter by pushing the torch .grad tensors through the same weight
+    translation (translation is a pure transposition, so translated grads
+    ARE our-layout grads). Guards BN-scale/beta grad flow and the
+    nearest-upsample/concat backward through the whole decoder."""
+    md, heads, dec = smp_mods
+    from senas_tpu.models.zoo import Unet
+
+    torch.manual_seed(7)
+    enc = _ResNet10Encoder()
+    decoder = dec.UnetDecoder(
+        encoder_channels=(3, 64, 64, 128, 256, 512),
+        decoder_channels=(256, 128, 64, 32, 16),
+        n_blocks=5, use_batchnorm=True, center=False, attention_type=None)
+    head = heads.SegmentationHead(16, 2, kernel_size=3)
+    for m in (enc, decoder, head):
+        m.eval()
+    _randomize_bn(enc, decoder)
+
+    rs = np.random.RandomState(7)
+    x = rs.randn(2, 64, 64, 3).astype(np.float32)
+    y = rs.randint(0, 2, size=(2, 64, 64)).astype(np.int64)
+
+    def translate():
+        enc_p, enc_s = _translate_encoder(enc)
+        params, stats = {"encoder": enc_p}, {"encoder": enc_s}
+        for i, blk in enumerate(decoder.blocks):
+            p1, s1 = _translate_conv2drelu(blk.conv1)
+            p2, s2 = _translate_conv2drelu(blk.conv2)
+            params[f"dec_{i}"] = {"Conv2dReLU_0": p1, "Conv2dReLU_1": p2}
+            stats[f"dec_{i}"] = {"Conv2dReLU_0": s1, "Conv2dReLU_1": s2}
+        params["SegmentationHead_0"] = {
+            "kernel": _conv(head[0].weight),
+            "bias": jnp.asarray(head[0].bias.detach().numpy())}
+        return params, stats
+
+    params, stats = translate()
+
+    out = head(decoder(*enc(torch.tensor(np.transpose(x, (0, 3, 1, 2))))))
+    loss = torch.nn.functional.cross_entropy(out, torch.tensor(y))
+    loss.backward()
+    # swap grads into the module weights, then reuse the SAME translation
+    with torch.no_grad():
+        for m in (enc, decoder, head):
+            for p in m.parameters():
+                assert p.grad is not None
+                p.data = p.grad.clone()
+    grads_ref, _ = translate()
+
+    ours = Unet(classes=2, in_channels=3, encoder_name="resnet10",
+                encoder_depth=5, decoder_channels=(256, 128, 64, 32, 16))
+    xs, ys = jnp.asarray(x), jnp.asarray(y)
+
+    def loss_fn(p):
+        logits = ours.apply({"params": p, "batch_stats": stats},
+                            xs, False)[-1]
+        import optax
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, 2), ys.reshape(-1)).mean()
+
+    lval, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(lval), float(loss.detach()), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_flatten_with_path(grads_ref)[0]
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+    assert len(flat_ref) == len(flat_got) and len(flat_ref) > 60
+    for path, ref_leaf in flat_ref:
+        got_leaf = flat_got[path]
+        np.testing.assert_allclose(
+            np.asarray(got_leaf), np.asarray(ref_leaf), rtol=2e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

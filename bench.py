@@ -58,6 +58,33 @@ TORCH_REFERENCE_TRAIN_IMG_PER_SEC = 0.31
 TORCH_REFERENCE_SEARCH_STEPS_PER_SEC = 1.0 / 111.35
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 on the MXU.
 V5E_PEAK_FLOPS = 197e12
+# TPU v5e HBM bandwidth: 819 GB/s.
+V5E_PEAK_HBM = 819e9
+
+
+def _cost_metrics(step, step_args, sec: float) -> dict:
+    """HLO cost analysis of the compiled step -> MFU and HBM roofline.
+
+    The deep-narrow SENAS workload (8-channel cell-internal width) is
+    memory-bound; `hbm_util` (achieved bytes/s over the 819 GB/s peak) is
+    the roofline that actually binds, while `mfu` reads low by construction.
+    """
+    try:
+        cost = step.lower(*step_args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        cost = cost or {}
+        flops = float(cost.get("flops", 0.0)) or None
+        byts = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        flops, byts = None, None
+    out = {"flops_per_step": flops,
+           "mfu": (flops / sec / V5E_PEAK_FLOPS) if flops else None}
+    if byts:
+        out["bytes_accessed_per_step"] = byts
+        out["hbm_gbps"] = byts / sec / 1e9
+        out["hbm_util"] = byts / sec / V5E_PEAK_HBM
+    return out
 
 
 def log(msg: str) -> None:
@@ -131,22 +158,14 @@ def bench_fixed_train(batch: int, hw: int, steps: int, dtype=None):
 
     sec = _time_steps_pipelined(dispatch, lambda: float(holder["m"]["loss"]),
                                 max(steps, 10))
-    # analyzed forward+backward+update flops of the whole compiled step
-    try:
-        cost = step.lower(holder["state"], batch_d).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else {}
-        flops = float((cost or {}).get("flops", 0.0)) or None
-    except Exception:
-        flops = None
     return {
         "sec_per_step": sec,
         "sec_per_step_syncmode": sec_sync,
         "images_per_sec": batch / sec,
         "compile_s": compile_s,
         "loss_first_step": loss0,
-        "flops_per_step": flops,
-        "mfu": (flops / sec / V5E_PEAK_FLOPS) if flops else None,
+        # analyzed flops/bytes of the whole compiled fwd+bwd+update step
+        **_cost_metrics(step, (holder["state"], batch_d), sec),
     }
 
 
@@ -253,6 +272,7 @@ def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
         "images_per_sec": batch / sec,
         "compile_s": compile_s,
         "loss_first_step": float(metrics["loss"]),
+        **_cost_metrics(step, (holder["state"], tb, vb, True), sec),
     }
 
 
@@ -402,6 +422,10 @@ def _emit_headline(results, hw: int, train_bs: int):
                 tr["images_per_sec"] / TORCH_REFERENCE_TRAIN_IMG_PER_SEC, 1)
         if tr.get("mfu"):
             line["train_mfu"] = round(tr["mfu"], 4)
+        if tr.get("hbm_util"):
+            line["train_hbm_util"] = round(tr["hbm_util"], 4)
+    if se and se.get("hbm_util"):
+        line["search_hbm_util"] = round(se["hbm_util"], 4)
     inf = results.get("inference_bf16")
     if inf and "batch1_p50_ms" in inf:
         line["inference_batch1_p50_ms"] = round(inf["batch1_p50_ms"], 2)

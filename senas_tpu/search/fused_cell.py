@@ -69,6 +69,40 @@ MERGE_GROUP_CONVS = os.environ.get("SENAS_MERGE_GROUP_CONVS", "0") == "1"
 MERGE_DILATED = os.environ.get("SENAS_MERGE_DILATED", "0") == "1"
 
 
+def _use_pallas_epilogue() -> bool:
+    """Gate for the Pallas fused BN+SE+alpha-mix epilogue
+    (ops/grouped_epilogue.py). Read at call time so tests can toggle it.
+    Default off until it beats the XLA epilogue on-chip (keep-the-winner)."""
+    return os.environ.get("SENAS_PALLAS_EPILOGUE", "0") == "1"
+
+
+class _EpilogueBN(nn.Module):
+    """Parameter/stat holder with primitives.BatchNorm's EXACT variable
+    layout ({params: scale, bias}, {batch_stats: mean, var}, f32), for
+    branches whose BN compute happens inside the fused Pallas epilogue.
+    Checkpoints are interchangeable with the unfused path. Call once to
+    read (scale, bias, run_mean, run_var); call again with (mu, var, count)
+    to advance the running stats with torch momentum-0.1 / unbiased-var
+    semantics (primitives.BatchNorm:86-91)."""
+
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, c, mu=None, var=None, count=None):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if mu is not None and not self.is_initializing():
+            unbiased = var * (count / max(count - 1, 1))
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mu
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 def _embed_kernel(kern, k_to: int, dilation: int = 1):
     """Exactly embed a [k,k,I,O] (optionally dilated) kernel into a dense
     [k_to,k_to,I,O] dilation-1 kernel (centered; zero elsewhere)."""
@@ -115,32 +149,38 @@ class GroupedMixedOp(nn.Module):
             return (out.reshape(b, oh, ow, E, P) * y[:, None, None]).reshape(
                 b, oh, ow, E * P)
 
-        def dw_epilogue(name, out):
-            """out: [b,oh,ow,C*E] raw depthwise conv output."""
+        def dw_mid(name, out):
+            """out: [b,oh,ow,C*E] raw depthwise conv output -> pre-pbn
+            tensor [b,oh,ow,E*P] (dbn -> relu -> grouped pointwise)."""
             out = grouped_bn(out, f"{name}_dbn")
             out = relu(out)
             out = out.reshape(b, oh, ow, C, E)
             pkern = self.param(f"{name}_pkernel", kaiming_normal,
                                (E, C, P), jnp.float32).astype(x.dtype)
             out = jnp.einsum("bhwce,ecp->bhwep", out, pkern)
-            out = grouped_bn(out.reshape(b, oh, ow, E * P), f"{name}_pbn")
+            return out.reshape(b, oh, ow, E * P)
+
+        def dw_epilogue(name, out):
+            out = grouped_bn(dw_mid(name, out), f"{name}_pbn")
             return out.reshape(b, oh, ow, E, P)
 
-        def conv_branch(name, k, dilation, with_se):
+        def conv_pre(name, k, dilation):
             kern = self.param(f"{name}_kernel", kaiming_normal,
                               (k, k, C, E * P), jnp.float32).astype(x.dtype)
             if transpose:
-                out = conv_transpose2d(x, kern, stride=2, dilation=dilation,
-                                       output_padding=1)
-            else:
-                out = conv2d(x, kern, stride=stride, dilation=dilation)
-            out = grouped_bn(out, f"{name}_bn")
+                return conv_transpose2d(x, kern, stride=2, dilation=dilation,
+                                        output_padding=1)
+            return conv2d(x, kern, stride=stride, dilation=dilation)
+
+        def conv_branch(name, k, dilation, with_se):
+            out = grouped_bn(conv_pre(name, k, dilation), f"{name}_bn")
             if with_se:
                 out = se_epilogue(name, out)
             return out.reshape(b, oh, ow, E, P)
 
-        def depsep_branch(name, k):
-            # depthwise with channel-multiplier E: output channel c*E+e
+        def depsep_pre(name, k):
+            # depthwise with channel-multiplier E: output channel c*E+e;
+            # everything up to the final pbn (which the epilogue can absorb)
             dkern = self.param(f"{name}_dkernel", kaiming_normal,
                                (k, k, 1, C * E), jnp.float32).astype(x.dtype)
             if transpose:
@@ -148,23 +188,115 @@ class GroupedMixedOp(nn.Module):
                                        groups=C)
             else:
                 out = conv2d(x, dkern, stride=stride, groups=C)
-            return dw_epilogue(name, out)
+            return dw_mid(name, out)
 
-        def adapter_branch(name, base):
-            # base: [B,oh,ow,C] (pool/upsample/identity) or None for 'none'
-            if base is None:
-                out = jnp.zeros((b, oh, ow, E * P), x.dtype)
-            elif C != P:
+        def depsep_branch(name, k):
+            out = grouped_bn(depsep_pre(name, k), f"{name}_pbn")
+            return out.reshape(b, oh, ow, E, P)
+
+        def adapter_pre(name, base):
+            # base: [B,oh,ow,C] (pool/upsample/identity)
+            if C != P:
                 kern = self.param(f"{name}_kernel", kaiming_normal,
                                   (1, 1, C, E * P), jnp.float32).astype(x.dtype)
-                out = conv2d(base, kern)
+                return conv2d(base, kern)
+            return jnp.tile(base, (1, 1, 1, E))
+
+        def adapter_branch(name, base):
+            # base or None for 'none'
+            if base is None:
+                out = jnp.zeros((b, oh, ow, E * P), x.dtype)
             else:
-                out = jnp.tile(base, (1, 1, 1, E))
+                out = adapter_pre(name, base)
             out = grouped_bn(out, f"{name}_bn")
             return out.reshape(b, oh, ow, E, P)
 
-        # ---- merged-conv planning (see module docstring / MERGE_GROUP_CONVS)
+        def adapter_base(name):
+            if name == "avg_pool":
+                return avg_pool_3x3(x, stride=stride)
+            if name == "max_pool":
+                return max_pool_3x3(x, stride=stride)
+            if name == "up_sample":
+                return upsample2x(x)
+            return x  # identity
+
         ops = self.op_type.value["ops"]
+
+        # ---- Pallas fused epilogue path (ops/grouped_epilogue.py): every
+        # branch contributes its pre-final-BN tensor; BN(+SE)+alpha-mix run
+        # as two kernels. Variable layout is identical to the unfused path
+        # (_EpilogueBN), so checkpoints are interchangeable; equivalence is
+        # pinned by tests/test_grouped_epilogue_integration.py.
+        if _use_pallas_epilogue() and not MERGE_GROUP_CONVS:
+            from senas_tpu.ops.grouped_epilogue import fused_group_epilogue
+
+            specs = []          # (op_idx, name, bn_name, pre-BN tensor)
+            none_idx = None
+            for o, name in enumerate(ops):
+                if name == "none":
+                    none_idx = o
+                elif name in ("avg_pool", "max_pool", "up_sample", "identity"):
+                    specs.append((o, name, f"{name}_bn",
+                                  adapter_pre(name, adapter_base(name))))
+                elif name in ("conv_3", "se_conv_3"):
+                    specs.append((o, name, f"{name}_bn", conv_pre(name, 3, 1)))
+                elif name == "dil_3_conv_5":
+                    specs.append((o, name, f"{name}_bn", conv_pre(name, 5, 3)))
+                elif name == "dil_2_conv_5":
+                    specs.append((o, name, f"{name}_bn", conv_pre(name, 5, 2)))
+                elif name == "dep_sep_conv_3":
+                    specs.append((o, name, f"{name}_pbn", depsep_pre(name, 3)))
+                elif name == "dep_sep_conv_5":
+                    specs.append((o, name, f"{name}_pbn", depsep_pre(name, 5)))
+                else:
+                    raise NotImplementedError(name)
+
+            bns, scales, biases, rms, rvs = [], [], [], [], []
+            for _, _, bn_name, _ in specs:
+                bn = _EpilogueBN(name=bn_name)
+                s_, b_, rm_, rv_ = bn(E * P)
+                bns.append(bn)
+                scales.append(s_)
+                biases.append(b_)
+                rms.append(rm_)
+                rvs.append(rv_)
+            alphas_cols = [jnp.repeat(alphas[:, o], P) for o, *_ in specs]
+            se_pos = next((i for i, (_, n2, _, _) in enumerate(specs)
+                           if n2 == "se_conv_3"), None)
+            se_w1 = se_w2 = None
+            if se_pos is not None:
+                mid = P // 16 if P > 16 else 1
+                se_w1 = self.param("se_conv_3_se1", xavier_uniform,
+                                   (E, P, mid), jnp.float32)
+                se_w2 = self.param("se_conv_3_se2", xavier_uniform,
+                                   (E, mid, P), jnp.float32)
+            none_col = none_y = None
+            if none_idx is not None:
+                nbn = _EpilogueBN(name="none_bn")
+                ns, nb2, nrm, nrv = nbn(E * P)
+                none_col = jnp.repeat(alphas[:, none_idx], P)
+                if train:
+                    none_y = nb2  # BN(zeros) train mode: mu=0, var=0 -> bias
+                else:
+                    none_y = nb2 - nrm * jax.lax.rsqrt(nrv + 1e-5) * ns
+
+            interpret = jax.default_backend() == "cpu"
+            mixed, (mu, var) = fused_group_epilogue(
+                [t for *_, t in specs], scales, biases, alphas_cols,
+                train=train, run_means=rms, run_vars=rvs,
+                se_index=se_pos, se_w1=se_w1, se_w2=se_w2, E=E, P=P,
+                none_alpha_col=none_col, none_bias=none_y,
+                out_dtype=x.dtype, interpret=interpret)
+            if train:
+                count = b * oh * ow
+                for i, bn in enumerate(bns):
+                    bn(E * P, mu=mu[i], var=var[i], count=count)
+                if none_idx is not None:
+                    zc = jnp.zeros((E * P,), jnp.float32)
+                    nbn(E * P, mu=zc, var=zc, count=count)
+            return mixed.reshape(b, oh, ow, E, P)
+
+        # ---- merged-conv planning (see module docstring / MERGE_GROUP_CONVS)
         merge = MERGE_GROUP_CONVS and C <= DENSE_DEPTHWISE_MAX_CHANNELS
         merged_out = {}
         if merge:

@@ -382,6 +382,74 @@ def bench_pallas_norm_convs(steps: int, chain: int = 10):
     return out
 
 
+def bench_epilogue(steps: int, full_search: bool = False):
+    """Gate-off vs gate-on comparison for the Pallas fused group epilogue
+    (ops/grouped_epilogue.py, SENAS_PALLAS_EPILOGUE; VERDICT r2 #2c).
+
+    Micro: one DOWN GroupedMixedOp (6 branches incl. the SE conv) fwd+bwd at
+    the flagship site geometry — x [8,128,128,32] bf16, E=3, P=8 -> branch
+    tensors [8,64,64,24] — `chain` evaluations inside one jit, synced via a
+    scalar readback (block_until_ready does not block on axon; BASELINE.md).
+    With full_search=True also times the whole bilevel search step per gate
+    (the decision metric; two big compiles)."""
+    from senas_tpu.ops.primitives import OpType
+    from senas_tpu.search.fused_cell import GroupedMixedOp
+
+    b, hw, c_in, P, E = 8, 128, 32, 8, 3
+    chain = 8
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, hw, hw, c_in), jnp.bfloat16)
+    al = jax.nn.softmax(jnp.asarray(rs.randn(E, 6), jnp.float32), axis=-1)
+    out = {"shape": f"b{b} {hw}x{hw} c{c_in} E{E} P{P} chain{chain}"}
+
+    prev = os.environ.get("SENAS_PALLAS_EPILOGUE")
+    try:
+        os.environ["SENAS_PALLAS_EPILOGUE"] = "0"
+        m = GroupedMixedOp(c_in=c_in, c_part=P, num_edges=E,
+                           op_type=OpType.DOWN, dtype=jnp.bfloat16)
+        variables = m.init(jax.random.PRNGKey(0), x, al, True)
+        bs0 = variables["batch_stats"]
+
+        for gate, key in (("0", "xla"), ("1", "pallas")):
+            os.environ["SENAS_PALLAS_EPILOGUE"] = gate
+
+            @jax.jit
+            def run(params, x, al):
+                def loss(p):
+                    tot = jnp.float32(0)
+                    for i in range(chain):
+                        o, _ = m.apply({"params": p, "batch_stats": bs0},
+                                       x + jnp.bfloat16(0.001 * i), al, True,
+                                       mutable=["batch_stats"])
+                        tot = tot + jnp.sum(o.astype(jnp.float32) ** 2)
+                    return tot
+                l, g = jax.value_and_grad(loss)(params)
+                return l + jax.tree_util.tree_reduce(
+                    lambda a, le: a + jnp.sum(le.astype(jnp.float32)), g, 0.0)
+
+            t0 = time.perf_counter()
+            float(run(variables["params"], x, al))  # compile + warm
+            out[f"{key}_compile_s"] = time.perf_counter() - t0
+            t = _time_steps(lambda: float(run(variables["params"], x, al)),
+                            max(steps, 10))
+            out[f"{key}_cell_ms"] = t / chain * 1e3
+        out["cell_speedup"] = out["xla_cell_ms"] / out["pallas_cell_ms"]
+
+        if full_search:
+            for gate, key in (("0", "xla"), ("1", "pallas")):
+                os.environ["SENAS_PALLAS_EPILOGUE"] = gate
+                r = bench_search(8, 256, steps, fused=True, dtype=jnp.bfloat16)
+                out[f"{key}_search"] = r
+            out["search_speedup"] = (out["xla_search"]["sec_per_step"]
+                                     / out["pallas_search"]["sec_per_step"])
+    finally:
+        if prev is None:
+            os.environ.pop("SENAS_PALLAS_EPILOGUE", None)
+        else:
+            os.environ["SENAS_PALLAS_EPILOGUE"] = prev
+    return out
+
+
 def _emit_headline(results, hw: int, train_bs: int):
     """Print the cumulative machine-parsable headline line.
 
@@ -451,6 +519,11 @@ def main():
                     help="run ONLY the pallas-vs-XLA comparison")
     ap.add_argument("--input-pipeline", action="store_true",
                     help="run ONLY the host data-loader benchmark")
+    ap.add_argument("--epilogue-only", action="store_true",
+                    help="run ONLY the fused-epilogue gate-off/on comparison")
+    ap.add_argument("--epilogue-search", action="store_true",
+                    help="with --epilogue-only: also compare the full "
+                         "bilevel search step per gate (two big compiles)")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch-sweep", type=str, default=None,
                     help="comma list of batch sizes: also time fixed-train "
@@ -470,6 +543,19 @@ def main():
         print(json.dumps({"metric": "pallas_norm_convs_speedup_vs_xla",
                           "value": round(res["speedup"], 3), "unit": "x",
                           "vs_baseline": round(res["speedup"], 3)}))
+        return
+
+    if args.epilogue_only:
+        res = bench_epilogue(args.steps or 20,
+                             full_search=args.epilogue_search)
+        log(f"epilogue: {json.dumps(res, default=str)}")
+        print(json.dumps({"metric": "pallas_epilogue_cell_speedup_vs_xla",
+                          "value": round(res["cell_speedup"], 3), "unit": "x",
+                          "vs_baseline": round(res["cell_speedup"], 3),
+                          "xla_cell_ms": round(res["xla_cell_ms"], 3),
+                          "pallas_cell_ms": round(res["pallas_cell_ms"], 3),
+                          **({"search_speedup": round(res["search_speedup"], 3)}
+                             if "search_speedup" in res else {})}))
         return
 
     if args.input_pipeline:

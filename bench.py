@@ -521,6 +521,9 @@ def main():
                     help="run ONLY the host data-loader benchmark")
     ap.add_argument("--epilogue-only", action="store_true",
                     help="run ONLY the fused-epilogue gate-off/on comparison")
+    ap.add_argument("--bn-only", action="store_true",
+                    help="run ONLY fixed-train bf16 with SENAS_PALLAS_BN "
+                         "off vs on (Pallas BatchNorm comparison)")
     ap.add_argument("--epilogue-search", action="store_true",
                     help="with --epilogue-only: also compare the full "
                          "bilevel search step per gate (two big compiles)")
@@ -556,6 +559,25 @@ def main():
                           "pallas_cell_ms": round(res["pallas_cell_ms"], 3),
                           **({"search_speedup": round(res["search_speedup"], 3)}
                              if "search_speedup" in res else {})}))
+        return
+
+    if args.bn_only:
+        steps = args.steps or 20
+        res = {}
+        for gate, key in (("0", "xla"), ("1", "pallas")):
+            os.environ["SENAS_PALLAS_BN"] = gate
+            res[key] = bench_fixed_train(12, 256, steps, dtype=jnp.bfloat16)
+        os.environ.pop("SENAS_PALLAS_BN", None)
+        speed = (res["pallas"]["images_per_sec"]
+                 / res["xla"]["images_per_sec"])
+        log(f"pallas BN: {json.dumps(res, default=str)}")
+        print(json.dumps({"metric": "pallas_bn_train_speedup_vs_xla",
+                          "value": round(speed, 3), "unit": "x",
+                          "vs_baseline": round(speed, 3),
+                          "xla_img_per_sec": round(
+                              res["xla"]["images_per_sec"], 2),
+                          "pallas_img_per_sec": round(
+                              res["pallas"]["images_per_sec"], 2)}))
         return
 
     if args.input_pipeline:

@@ -51,6 +51,15 @@ def get_same_padding(kernel_size: int) -> int:
     return kernel_size // 2
 
 
+def _use_pallas_bn() -> bool:
+    """Gate for routing every 4-D BatchNorm through the Pallas fused affine
+    kernels (ops/grouped_epilogue.py with n=1): stats + apply over a
+    [B,H,W*C] lane-filling view instead of XLA's C-minor elementwise graph.
+    Read at call time so tests/benches can toggle it; default off until it
+    beats XLA on-chip (keep-the-winner)."""
+    return os.environ.get("SENAS_PALLAS_BN", "0") == "1"
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with EXACT torch nn.BatchNorm2d semantics.
 
@@ -76,6 +85,9 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if _use_pallas_bn() and x.ndim == 4:
+            return self._pallas_path(x, scale, bias, ra_mean, ra_var,
+                                     use_running_average)
         xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -83,15 +95,37 @@ class BatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased: normalization
-            if not self.is_initializing():
-                n = x.size // c
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            self._update_stats(ra_mean, ra_var, mean, var, x.size // c)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)
+
+    def _update_stats(self, ra_mean, ra_var, mean, var, n):
+        if self.is_initializing():
+            return
+        unbiased = var * (n / max(n - 1, 1))
+        m = self.momentum
+        ra_mean.value = (1 - m) * ra_mean.value + m * mean
+        ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+    def _pallas_path(self, x, scale, bias, ra_mean, ra_var,
+                     use_running_average):
+        from senas_tpu.ops.grouped_epilogue import fused_group_epilogue
+        ones = jnp.ones_like(scale)
+        interpret = jax.default_backend() == "cpu"
+        out_dtype = self.dtype or x.dtype
+        if use_running_average:
+            y, _ = fused_group_epilogue(
+                [x], [scale], [bias], [ones], train=False,
+                run_means=[ra_mean.value], run_vars=[ra_var.value],
+                out_dtype=out_dtype, interpret=interpret)
+            return y
+        y, (mu, var) = fused_group_epilogue(
+            [x], [scale], [bias], [ones], train=True,
+            out_dtype=out_dtype, interpret=interpret)
+        self._update_stats(ra_mean, ra_var, mu[0], var[0],
+                           x.size // x.shape[-1])
+        return y
 
 
 def build_norm(dtype: Optional[Dtype] = None, name: Optional[str] = None) -> BatchNorm:

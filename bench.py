@@ -503,6 +503,27 @@ def _emit_headline(results, hw: int, train_bs: int):
     print(json.dumps(line), flush=True)
 
 
+def _device_reachable(timeout_s: float = 240.0):
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can be down for hours; the first device op of this
+    process would then hang forever and turn the whole driver bench run
+    into rc=124 with zero evidence (the round-1 failure mode). jax backend
+    init is lazy, so probing before any jax.devices() call in THIS process
+    is safe. Returns (ok, detail)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "print(float((x @ x)[0, 0]), jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout_s:.0f}s"
+    if r.returncode != 0:
+        return False, f"device probe rc={r.returncode}: {r.stderr[-300:]}"
+    return True, r.stdout.strip()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -533,6 +554,30 @@ def main():
                          "bf16 at each (throughput scaling table)")
     args = ap.parse_args()
     t_start = time.monotonic()
+
+    ok, detail = _device_reachable(float(os.environ.get(
+        "SENAS_DEVICE_PROBE_TIMEOUT", 240)))
+    if not ok:
+        # Honest rc=0 diagnostic beats an opaque harness timeout: emit a
+        # parseable headline that says WHY there is no number this run.
+        log(f"DEVICE UNREACHABLE: {detail}")
+        line = {"metric": "senas_search_steps_per_sec", "value": None,
+                "unit": "steps/sec/chip", "vs_baseline": None,
+                "error": f"accelerator unreachable: {detail}"}
+        print(json.dumps(line), flush=True)
+        # keep any previously persisted numbers; just annotate the failure
+        out_path = os.path.join(_REPO, "bench_results.json")
+        prev = {}
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+        except Exception:
+            pass
+        prev["device_unreachable"] = line["error"]
+        with open(out_path, "w") as f:
+            json.dump(prev, f, indent=2)
+        return
+    log(f"device probe ok: {detail}")
 
     def remaining() -> float:
         return args.budget - (time.monotonic() - t_start)

@@ -59,15 +59,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-5
 
-# Sublane tile for the H axis of each block. 16 = bf16 min tile; f32 inputs
-# also accept 16.
-_H_TILE = 16
+# VMEM budget per grid step for the streamed blocks (double-buffered by
+# Mosaic; ~16 MB/core total, leave headroom for accumulators + compiler).
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
-def _pick_h_tile(h: int) -> int:
-    for t in (_H_TILE, 8, 4, 2, 1):
-        if h % t == 0:
-            return t
+def _pick_h_tile(h: int, wc: int = 0, streams: int = 1,
+                 bytes_per_el: int = 4) -> int:
+    """Largest H tile that divides h and keeps the per-step streamed block
+    footprint (streams tensors of [tile, wc]) under the VMEM budget.
+    16 is the bf16 min sublane tile; smaller tiles only for tiny h."""
+    for t in (128, 64, 32, 16, 8, 4, 2, 1):
+        if h % t:
+            continue
+        if t > 16 and wc and t * wc * bytes_per_el * streams > _VMEM_BUDGET:
+            continue
+        return t
     return 1
 
 
@@ -100,7 +107,7 @@ def _branch_stats(xs_flat: Sequence[jax.Array], interpret: bool = False):
     holding sums over H (fold W outside to get per-(b,c) sums)."""
     n = len(xs_flat)
     b, h, wc = xs_flat[0].shape
-    ht = _pick_h_tile(h)
+    ht = _pick_h_tile(h, wc, streams=n)
     grid = (b, h // ht)
     in_specs = [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM) for _ in range(n)]
@@ -140,7 +147,7 @@ def _apply_mix(xs_flat, a, k, out_dtype, interpret: bool = False):
     [B,H,WC] out_dtype."""
     n = len(xs_flat)
     b, h, wc = xs_flat[0].shape
-    ht = _pick_h_tile(h)
+    ht = _pick_h_tile(h, wc, streams=n + 1)
     grid = (b, h // ht)
     in_specs = (
         [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
@@ -189,7 +196,7 @@ def _bwd_reduce(xs_flat, g, interpret: bool = False):
     (dA [n,B,WC] f32, dK [B,WC] f32)."""
     n = len(xs_flat)
     b, h, wc = xs_flat[0].shape
-    ht = _pick_h_tile(h)
+    ht = _pick_h_tile(h, wc, streams=n + 1)
     grid = (b, h // ht)
     in_specs = [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM) for _ in range(n + 1)]
@@ -232,7 +239,7 @@ def _bwd_dx(xs_flat, g, a, ds1, ds2, interpret: bool = False):
     over H. Returns a list of [B,H,WC] arrays in each x's dtype."""
     n = len(xs_flat)
     b, h, wc = xs_flat[0].shape
-    ht = _pick_h_tile(h)
+    ht = _pick_h_tile(h, wc, streams=2 * n + 1)
     grid = (b, h // ht)
     blk = lambda: pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)

@@ -499,8 +499,33 @@ def _emit_headline(results, hw: int, train_bs: int):
         line["inference_batch1_p50_ms"] = round(inf["batch1_p50_ms"], 2)
         line["inference_batch64_img_per_sec"] = round(
             inf.get("batch64_images_per_sec", 0.0), 1)
+    for extra in ("epilogue_search_speedup", "bn_train_speedup"):
+        if extra in results:
+            line[extra] = round(results[extra], 3)
     results["headline"] = line
     print(json.dumps(line), flush=True)
+    if line.get("value") is not None:
+        # durable last-good store for the unreachable-device fallback:
+        # NEVER written on failure paths, so a dead-tunnel round can still
+        # re-emit the previous round's number (clearly labeled stale)
+        try:
+            with open(os.path.join(_REPO, "bench_last_good.json"), "w") as f:
+                json.dump({"headline": line,
+                           "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")},
+                          f, indent=2)
+        except Exception:
+            pass
+
+
+def _last_good_headline():
+    try:
+        with open(os.path.join(_REPO, "bench_last_good.json")) as f:
+            d = json.load(f)
+        if d.get("headline", {}).get("value") is not None:
+            return d
+    except Exception:
+        pass
+    return None
 
 
 def _device_reachable(timeout_s: float = 240.0):
@@ -555,15 +580,43 @@ def main():
     args = ap.parse_args()
     t_start = time.monotonic()
 
-    ok, detail = _device_reachable(float(os.environ.get(
-        "SENAS_DEVICE_PROBE_TIMEOUT", 240)))
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
+
+    # Probe with retries + backoff (VERDICT r2 #4: one 240s attempt nulled a
+    # whole round; the tunnel recovers on minute timescales, so retry while
+    # the budget allows).
+    probe_timeout = float(os.environ.get("SENAS_DEVICE_PROBE_TIMEOUT", 240))
+    attempts = int(os.environ.get("SENAS_DEVICE_PROBE_ATTEMPTS", 3))
+    ok, detail = False, "no probe attempt made"
+    for i in range(attempts):
+        ok, detail = _device_reachable(probe_timeout)
+        if ok:
+            break
+        log(f"device probe attempt {i + 1}/{attempts} failed: {detail}")
+        if i < attempts - 1:
+            backoff = 60.0 * (i + 1)
+            if remaining() < probe_timeout + backoff + 60:
+                log("budget too low for another probe attempt")
+                break
+            log(f"retrying probe in {backoff:.0f}s ...")
+            time.sleep(backoff)
     if not ok:
-        # Honest rc=0 diagnostic beats an opaque harness timeout: emit a
-        # parseable headline that says WHY there is no number this run.
+        # Honest rc=0 diagnostic beats an opaque harness timeout. The
+        # capture must never be information-free: alongside the error,
+        # re-emit the LAST successful run's headline, clearly labeled stale.
         log(f"DEVICE UNREACHABLE: {detail}")
-        line = {"metric": "senas_search_steps_per_sec", "value": None,
-                "unit": "steps/sec/chip", "vs_baseline": None,
-                "error": f"accelerator unreachable: {detail}"}
+        err = f"accelerator unreachable: {detail}"
+        last = _last_good_headline()
+        if last is not None:
+            line = dict(last["headline"])
+            line["stale"] = True
+            line["stale_measured_at"] = last.get("measured_at")
+            line["error"] = err
+        else:
+            line = {"metric": "senas_search_steps_per_sec", "value": None,
+                    "unit": "steps/sec/chip", "vs_baseline": None,
+                    "error": err}
         print(json.dumps(line), flush=True)
         # keep any previously persisted numbers; just annotate the failure
         out_path = os.path.join(_REPO, "bench_results.json")
@@ -573,14 +626,12 @@ def main():
                 prev = json.load(f)
         except Exception:
             pass
-        prev["device_unreachable"] = line["error"]
+        prev["device_unreachable"] = err
+        prev["headline"] = line
         with open(out_path, "w") as f:
             json.dump(prev, f, indent=2)
         return
     log(f"device probe ok: {detail}")
-
-    def remaining() -> float:
-        return args.budget - (time.monotonic() - t_start)
 
     if args.pallas_only:
         steps = args.steps or 20
@@ -696,6 +747,69 @@ def main():
           lambda: dict(bench_fixed_train(train_bs, hw, steps, dtype=None),
                        dtype="f32"),
           needed=150)
+
+    # ---- Pallas gate adjudication in the DEFAULT flow (VERDICT r2 #1/#4:
+    # the driver runs plain `python bench.py`, so the gate decision metrics
+    # must land in the capture without operator flags). The main train/search
+    # stages above ran with the shipped gate defaults; each stage below
+    # re-times the workload with the gate FLIPPED and records the
+    # xla-vs-pallas decision ratio whichever way the defaults point. ----
+    ep_default = os.environ.get(
+        "SENAS_PALLAS_EPILOGUE", "0") == "1"
+    bn_default = os.environ.get("SENAS_PALLAS_BN", "0") == "1"
+
+    stage("epilogue_gate_micro", "fused-epilogue gate micro (xla vs pallas)",
+          lambda: bench_epilogue(steps, full_search=False), needed=180)
+
+    def _search_gate_flipped():
+        flipped = "0" if ep_default else "1"
+        prev = os.environ.get("SENAS_PALLAS_EPILOGUE")
+        os.environ["SENAS_PALLAS_EPILOGUE"] = flipped
+        try:
+            r = dict(bench_search(search_bs, hw, steps, fused=True,
+                                  dtype=jnp.bfloat16),
+                     dtype="bf16", epilogue_gate=flipped)
+        finally:
+            if prev is None:
+                os.environ.pop("SENAS_PALLAS_EPILOGUE", None)
+            else:
+                os.environ["SENAS_PALLAS_EPILOGUE"] = prev
+        base = results.get("search_fused", {})
+        if "sec_per_step" in base and "sec_per_step" in r:
+            xla, pal = (r, base) if ep_default else (base, r)
+            results["epilogue_search_speedup"] = (
+                xla["sec_per_step"] / pal["sec_per_step"])
+        return r
+
+    stage("search_epilogue_flipped",
+          f"supernet search with SENAS_PALLAS_EPILOGUE="
+          f"{'0' if ep_default else '1'} (gate decision)",
+          _search_gate_flipped, needed=400)
+
+    def _train_bn_flipped():
+        flipped = "0" if bn_default else "1"
+        prev = os.environ.get("SENAS_PALLAS_BN")
+        os.environ["SENAS_PALLAS_BN"] = flipped
+        try:
+            r = dict(bench_fixed_train(train_bs, hw, steps,
+                                       dtype=jnp.bfloat16),
+                     dtype="bf16", bn_gate=flipped)
+        finally:
+            if prev is None:
+                os.environ.pop("SENAS_PALLAS_BN", None)
+            else:
+                os.environ["SENAS_PALLAS_BN"] = prev
+        base = results.get("train_bf16", {})
+        if "images_per_sec" in base and "images_per_sec" in r:
+            xla, pal = (r, base) if bn_default else (base, r)
+            results["bn_train_speedup"] = (
+                pal["images_per_sec"] / xla["images_per_sec"])
+        return r
+
+    stage("train_bn_flipped",
+          f"fixed-train bf16 with SENAS_PALLAS_BN="
+          f"{'0' if bn_default else '1'} (gate decision)",
+          _train_bn_flipped, needed=250)
 
     if args.with_naive_search:
         def _naive():

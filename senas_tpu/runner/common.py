@@ -27,6 +27,87 @@ def to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
             "label": jnp.asarray(batch["label"])}
 
 
+def setup_mesh(section: Dict[str, Any], logger=None):
+    """CLI mesh wiring — the pjit generalization of the reference's
+    `multi_gpus` flag (experiments/train_model.py:135-137,
+    experiments/search_arc.py:119-121 nn.DataParallel; plus the hand-rolled
+    supernet replica path search/senas_search.py:262-279).
+
+    Config section keys:
+      multi_gpus:   bool — shard over all visible devices (default false).
+      mesh_spatial: int  — optional spatial (image-H) axis size; the
+                    remaining devices form the data axis. GSPMD inserts the
+                    conv halo exchanges automatically.
+
+    Returns a Mesh, or None when disabled / only one device is visible
+    (DataParallel over one GPU is a no-op in the reference too).
+    """
+    from senas_tpu.parallel.mesh import (MeshSpec, initialize_distributed,
+                                         make_mesh)
+    if not section.get("multi_gpus", False):
+        return None
+    initialize_distributed()
+    devices = jax.devices()
+    n = len(devices)
+    if n < 2:
+        if logger:
+            logger.info("multi_gpus requested but only %d device visible — "
+                        "running single-device", n)
+        return None
+    spatial = int(section.get("mesh_spatial", 1))
+    if spatial < 1 or n % spatial != 0:
+        raise ValueError(
+            f"mesh_spatial={spatial} does not divide {n} devices")
+    mesh = make_mesh(devices, MeshSpec(data=n // spatial, spatial=spatial))
+    if logger:
+        logger.info("mesh: %s over %d %s devices",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)), n,
+                    devices[0].platform)
+    return mesh
+
+
+def check_global_batch(mesh, batch_size: int, what: str = "batch_size"):
+    """The config batch size is the GLOBAL batch (reference semantics:
+    DataParallel splits the loader batch across GPUs)."""
+    if mesh is None:
+        return
+    data = mesh.shape["data"]
+    if batch_size % data != 0:
+        raise ValueError(
+            f"{what}={batch_size} is not divisible by the mesh data axis "
+            f"({data}); pick a multiple so every device gets equal work")
+
+
+def make_batch_placer(mesh, spatial: bool = False):
+    """Returns place(batch)->device batch for the runner hot loops.
+
+    With a mesh: shard B over 'data' (and H over 'spatial') — the jitted
+    steps are sharding-agnostic; GSPMD propagates these input shardings and
+    inserts the gradient psum / halo collectives. Trailing partial eval
+    batches that don't divide the mesh are placed replicated (correct, just
+    not parallel — mirrors DataParallel's uneven-last-batch behavior).
+    Without a mesh this is `to_device_batch`.
+    """
+    if mesh is None:
+        return to_device_batch
+    from senas_tpu.parallel.mesh import replicate, shard_batch
+    data = mesh.shape["data"]
+    sp = mesh.shape["spatial"]
+
+    def place(batch):
+        b, h = batch["image"].shape[0], batch["image"].shape[1]
+        use_spatial = spatial and sp > 1 and h % sp == 0
+        if b % data == 0:
+            return shard_batch(mesh, {"image": np.asarray(batch["image"]),
+                                      "label": np.asarray(batch["label"])},
+                               spatial=use_spatial)
+        rep = replicate(mesh)
+        return {"image": jax.device_put(np.asarray(batch["image"]), rep),
+                "label": jax.device_put(np.asarray(batch["label"]), rep)}
+
+    return place
+
+
 class DeferredMetrics:
     """Batches device->host metric readbacks so the step stream stays async.
 
@@ -63,14 +144,15 @@ class DeferredMetrics:
         self._sizes.clear()
 
 
-def run_eval_loop(eval_step_fn, loader: DataLoader, nclass: int):
+def run_eval_loop(eval_step_fn, loader: DataLoader, nclass: int,
+                  place_fn=to_device_batch):
     """Evaluation epoch: returns (metric, loss_meter). A trailing partial
     batch triggers one extra jit trace (static shapes kept exact)."""
     metric = SegmentationMetric(nclass)
     loss_meter = AverageMeter()
     acc = DeferredMetrics(metric, loss_meter)
     for batch in loader:
-        out = eval_step_fn(to_device_batch(batch))
+        out = eval_step_fn(place_fn(batch))
         acc.push(out, n=batch["image"].shape[0])
     acc.drain()
     return metric, loss_meter

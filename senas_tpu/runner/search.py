@@ -20,9 +20,10 @@ import numpy as np
 from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
                             get_dataset_spec)
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
-                                     DeferredMetrics,
+                                     DeferredMetrics, check_global_batch,
+                                     make_batch_placer,
                                      resolve_dataset_kwargs, resolve_precision,
-                                     run_eval_loop, to_device_batch)
+                                     run_eval_loop, setup_mesh)
 from senas_tpu.search.supernet import (SenasSearch, derive_genotype,
                                        init_arch_params, normalize_arch)
 from senas_tpu.train.checkpoint import CheckpointManager
@@ -117,6 +118,17 @@ class SearchRunner:
                                              arch_in_weight_step=aiws)
         self._eval_raw = _eval
 
+        # multi_gpus config -> device mesh (the pjit generalization of the
+        # reference's supernet replica path, search_arc.py:119-121 +
+        # senas_search.py:262-279; arch tables stay replicated)
+        self.mesh = setup_mesh(s, self.logger)
+        check_global_batch(self.mesh, bs, "searching.batch_size")
+        self._place = make_batch_placer(
+            self.mesh, spatial=s.get("mesh_spatial", 1) > 1)
+        if self.mesh is not None:
+            from senas_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state)
+
         self.start_epoch = 0
         self.patience = 0
         self.geno_type = None
@@ -132,6 +144,9 @@ class SearchRunner:
         if restored is None:
             return
         self.state = jax.tree.map(jnp.asarray, restored["state"])
+        if self.mesh is not None:
+            from senas_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state)
         meta = restored["meta"] or {}
         self.start_epoch = int(meta.get("epoch", 0))
         self.patience = int(meta.get("cur_patience", 0))
@@ -193,8 +208,8 @@ class SearchRunner:
                     val_batch = next(val_iter)
                 with timer:
                     self.state, m = self.search_step(
-                        self.state, to_device_batch(batch),
-                        to_device_batch(val_batch), do_arch)
+                        self.state, self._place(batch),
+                        self._place(val_batch), do_arch)
                 acc.push(m)
                 if step % report_freq == 0:
                     acc.drain()
@@ -210,7 +225,8 @@ class SearchRunner:
 
             # ---- eval epoch ----
             metric, vloss = run_eval_loop(self.eval_step, self.valid_queue,
-                                          self.n_classes)
+                                          self.n_classes,
+                                          place_fn=self._place)
             pixacc, miou, dice = metric.get()
             self.logger.info("Epoch %d Val loss: %f, pixAcc: %s, mIoU: %s, dice: %s",
                              epoch, vloss.avg, pixacc, miou, dice)

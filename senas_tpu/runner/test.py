@@ -17,7 +17,8 @@ from senas_tpu.data import DataLoader, get_dataset, get_dataset_spec
 from senas_tpu.models import geno_searched
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
-                                     resolve_dataset_kwargs, to_device_batch)
+                                     make_batch_placer,
+                                     resolve_dataset_kwargs, setup_mesh)
 from senas_tpu.train.checkpoint import CheckpointManager
 from senas_tpu.train.loss import build_loss
 from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
@@ -89,6 +90,15 @@ class TestRunner:
         self.loss_fn = build_loss(loss_name)
         self._eval = make_eval_step(self.model.apply, self.loss_fn)
 
+        # multi_gpus config -> data-parallel eval over the mesh (partial
+        # trailing batches fall back to replicated placement)
+        self.mesh = setup_mesh(t, self.logger)
+        self._place = make_batch_placer(
+            self.mesh, spatial=t.get("mesh_spatial", 1) > 1)
+        if self.mesh is not None:
+            from senas_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state)
+
     def run(self, save_images: bool = True) -> Dict[str, float]:
         metric = SegmentationMetric(self.n_classes)
         loss_meter = AverageMeter()
@@ -115,7 +125,7 @@ class TestRunner:
         pending = []
         for batch in self.valid_queue:
             out = self._eval(self.state.params, self.state.batch_stats,
-                             to_device_batch(batch))
+                             self._place(batch))
             metric.update_counts(np.asarray(out["tp"]), np.asarray(out["fp"]),
                                  np.asarray(out["fn"]), float(out["acc"]))
             loss_meter.update(float(out["loss"]), n=batch["image"].shape[0])
@@ -148,7 +158,7 @@ class TestRunner:
         slices = []
         for batch in queue:
             out = self._eval(self.state.params, self.state.batch_stats,
-                             to_device_batch(batch))
+                             self._place(batch))
             preds = np.asarray(out["pred"])
             slices.extend(preds[i] for i in range(preds.shape[0]))
         dest = dest or os.path.join(self.run_dir, "predictions")

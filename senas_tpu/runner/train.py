@@ -23,9 +23,10 @@ from senas_tpu.data import (DataLoader, PrefetchLoader, get_dataset,
 from senas_tpu.models import geno_searched
 from senas_tpu.models.factory import get_segmentation_model
 from senas_tpu.runner.common import (DEFAULT_DATA_ROOT, DEFAULT_LOG_ROOT,
-                                     DeferredMetrics,
+                                     DeferredMetrics, check_global_batch,
+                                     make_batch_placer,
                                      resolve_dataset_kwargs, resolve_precision,
-                                     run_eval_loop, to_device_batch)
+                                     run_eval_loop, setup_mesh)
 from senas_tpu.train.checkpoint import CheckpointManager
 from senas_tpu.train.loss import build_loss
 from senas_tpu.train.metrics import AverageMeter, SegmentationMetric
@@ -108,6 +109,15 @@ class TrainRunner:
         self._eval_raw = make_eval_step(self.model.apply, self.loss_fn)
         self.state = FixedTrainState.create(variables, self.tx)
 
+        # multi_gpus config -> device mesh (train_model.py:135-137 equivalent)
+        self.mesh = setup_mesh(t, self.logger)
+        check_global_batch(self.mesh, bs, "training.batch_size")
+        self._place = make_batch_placer(
+            self.mesh, spatial=t.get("mesh_spatial", 1) > 1)
+        if self.mesh is not None:
+            from senas_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state)
+
         self.start_epoch = 0
         self.best_dice = 0.0
         self.best_miou = 0.0
@@ -123,6 +133,9 @@ class TrainRunner:
         if restored is None:
             return
         self.state = jax.tree.map(jnp.asarray, restored["state"])
+        if self.mesh is not None:
+            from senas_tpu.parallel.mesh import place_state
+            self.state = place_state(self.mesh, self.state)
         meta = restored["meta"] or {}
         if not ft:  # --ft resets counters for fine-tuning (train_model.py:154-174)
             self.start_epoch = int(meta.get("epoch", 0))
@@ -155,7 +168,7 @@ class TrainRunner:
             for step, batch in enumerate(PrefetchLoader(self.train_queue)):
                 with timer:
                     self.state, m = self.train_step(self.state,
-                                                    to_device_batch(batch))
+                                                    self._place(batch))
                 acc.push(m)
                 if step % report_freq == 0:
                     acc.drain()
@@ -171,11 +184,12 @@ class TrainRunner:
 
             # ---- validation ----
             vmetric, vloss = run_eval_loop(self.eval_step, self.valid_queue,
-                                           self.n_classes)
+                                           self.n_classes,
+                                           place_fn=self._place)
             # input|pred|gt grid of the first val batch (train_model.py:331)
             try:
                 first = next(iter(self.valid_queue))
-                out = self.eval_step(to_device_batch(first))
+                out = self.eval_step(self._place(first))
                 grid = store_images(first["image"], np.asarray(out["pred"]),
                                     first["label"], self.n_classes)
                 self.writer.add_image_grid("Val/images", grid, epoch)

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from senas_tpu.ops.primitives import (build_norm, conv2d, kaiming_normal, relu,
-                                      upsample2x, xavier_uniform)
+                                      torch_conv_bias, upsample2x,
+                                      xavier_normal)
 
 
 class Conv2dReLU(nn.Module):
@@ -37,7 +38,9 @@ class Conv2dReLU(nn.Module):
         if self.use_batchnorm:
             x = build_norm(self.dtype)(x, use_running_average=not train)
         else:
-            b = self.param("bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+            # torch Conv2d(bias=True) default bias init survives weights_init
+            b = self.param("bias", torch_conv_bias(x.shape[-1] * k * k),
+                           (self.c_out,), jnp.float32)
             x = x + b.astype(x.dtype)
         return relu(x)
 
@@ -52,15 +55,20 @@ class SCSEModule(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         mid = max(1, c // self.reduction)
-        # channel SE
+        # channel SE: smp uses 1x1 Conv2d (bias=True) here, so after the
+        # reference's weights_init the kernels are kaiming fan_out and the
+        # biases keep torch's conv default U(+-1/sqrt(fan_in))
         y = jnp.mean(x, axis=(1, 2))
-        y = nn.Dense(mid, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = nn.Dense(mid, kernel_init=kaiming_normal,
+                     bias_init=torch_conv_bias(c), dtype=self.dtype)(y)
         y = relu(y)
-        y = nn.Dense(c, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = nn.Dense(c, kernel_init=kaiming_normal,
+                     bias_init=torch_conv_bias(mid), dtype=self.dtype)(y)
         cse = x * nn.sigmoid(y)[:, None, None, :]
-        # spatial SE
+        # spatial SE (1x1 Conv2d with bias in smp)
         w = self.param("s_kernel", kaiming_normal, (1, 1, c, 1), jnp.float32)
-        sse = x * nn.sigmoid(conv2d(x, w.astype(x.dtype)))
+        sb = self.param("s_bias", torch_conv_bias(c), (1,), jnp.float32)
+        sse = x * nn.sigmoid(conv2d(x, w.astype(x.dtype)) + sb.astype(x.dtype))
         return cse + sse
 
 
@@ -171,7 +179,8 @@ class SegmentationHead(nn.Module):
         k = self.kernel_size
         w = self.param("kernel", kaiming_normal, (k, k, x.shape[-1], self.classes),
                        jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.classes,), jnp.float32)
+        b = self.param("bias", torch_conv_bias(x.shape[-1] * k * k),
+                       (self.classes,), jnp.float32)
         x = conv2d(x, w.astype(x.dtype)) + b.astype(x.dtype)
         if self.upsampling > 1:
             x = upsample_bilinear(x, self.upsampling)
@@ -199,6 +208,7 @@ class ClassificationHead(nn.Module):
             y = jnp.max(x, axis=(1, 2))
         if self.dropout and train:
             y = nn.Dropout(self.dropout)(y, deterministic=not train)
-        y = nn.Dense(self.classes, kernel_init=xavier_uniform,
+        # nn.Linear -> weights_init xavier_normal_ + zero bias
+        y = nn.Dense(self.classes, kernel_init=xavier_normal,
                      dtype=self.dtype)(y)
         return smp_activation(self.activation)(y)

@@ -18,7 +18,8 @@ from flax import linen as nn
 
 from senas_tpu.core.genotype import Genotype
 from senas_tpu.ops.primitives import (conv2d, conv_transpose2d, kaiming_normal,
-                                      relu, xavier_uniform)
+                                      kaiming_normal_transpose, relu,
+                                      xavier_normal)
 
 NAS_UNET_V3 = Genotype(
     down=[('down_dil_conv', 1), ('down_cweight', 0), ('down_cweight', 0),
@@ -77,7 +78,10 @@ class ConvOps(nn.Module):
                                     jnp.float32).astype(x.dtype)
                     x = conv2d(x, pw)
                 else:
-                    w = self.param("conv", kaiming_normal,
+                    # ConvTranspose2d torch fan_out is Cin*k*k (flax fan_in)
+                    w = self.param("conv",
+                                   kaiming_normal_transpose if self.use_transpose
+                                   else kaiming_normal,
                                    (k, k, c_in, self.c_out),
                                    jnp.float32).astype(x.dtype)
                     if self.use_transpose:
@@ -107,13 +111,17 @@ class CWeightOp(nn.Module):
         c = x.shape[-1]
         mid = max(1, c // 16)
         y = jnp.mean(x, axis=(1, 2))
-        y = nn.Dense(mid, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        # nn.Linear (prim_ops_set.py:273-275) -> weights_init xavier_normal_
+        y = nn.Dense(mid, kernel_init=xavier_normal, dtype=self.dtype)(y)
         y = relu(y)
-        y = nn.Dense(self.c_out, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = nn.Dense(self.c_out, kernel_init=xavier_normal, dtype=self.dtype)(y)
         y = nn.sigmoid(y)
         gated = x * y[:, None, None, :]
         if self.stride >= 2:
-            w = self.param("conv", kaiming_normal, (3, 3, c, self.c_out),
+            w = self.param("conv",
+                           kaiming_normal_transpose if self.use_transpose
+                           else kaiming_normal,
+                           (3, 3, c, self.c_out),
                            jnp.float32).astype(x.dtype)
             if self.use_transpose:
                 out = conv_transpose2d(gated, w, stride=self.stride,

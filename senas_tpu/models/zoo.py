@@ -22,7 +22,8 @@ from senas_tpu.models.base import (Attention, Conv2dReLU, SegmentationHead,
                                    upsample_nearest2x)
 from senas_tpu.models.encoders import get_encoder
 from senas_tpu.ops.primitives import (build_norm, conv2d, conv_transpose2d,
-                                      kaiming_normal, max_pool_2x2, relu)
+                                      kaiming_normal, kaiming_normal_transpose,
+                                      max_pool_2x2, relu, torch_conv_bias)
 
 Dtype = Any
 
@@ -275,8 +276,9 @@ class LinknetBlock(nn.Module):
         mid = c_in // 4
         x = Conv2dReLU(mid, kernel_size=1, dtype=self.dtype)(x, train)
         # TransposeX2: 4x4 transpose conv stride 2 (+BN) + ReLU
-        w = self.param("tkernel", kaiming_normal, (4, 4, mid, mid), jnp.float32)
-        b = self.param("tbias", nn.initializers.zeros, (mid,), jnp.float32)
+        w = self.param("tkernel", kaiming_normal_transpose,
+                       (4, 4, mid, mid), jnp.float32)
+        b = self.param("tbias", torch_conv_bias(mid * 16), (mid,), jnp.float32)
         x = conv_transpose2d(x, w.astype(x.dtype), stride=2, output_padding=0,
                              torch_padding=1) + b.astype(x.dtype)
         x = build_norm(self.dtype)(x, use_running_average=not train)
@@ -544,7 +546,8 @@ class ConvBnReLU(nn.Module):
         k = self.kernel_size
         w = self.param("kernel", kaiming_normal, (k, k, x.shape[-1], self.c_out),
                        jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+        b = self.param("bias", torch_conv_bias(x.shape[-1] * k * k),
+                       (self.c_out,), jnp.float32)
         x = conv2d(x, w.astype(x.dtype)) + b.astype(x.dtype)
         x = build_norm(self.dtype)(x, use_running_average=not train)
         if self.add_relu:

@@ -14,8 +14,9 @@ BN-everywhere structure — but the implementation is JAX-first:
     output_padding=op) = (H-1)*s - 2p + d*(k-1) + op + 1.
   * BatchNorm uses torch defaults (momentum 0.1 in torch convention ==
     flax momentum 0.9, eps 1e-5).
-  * Weight init matches utils/utils.py:240-250 (kaiming-normal convs,
-    xavier-uniform dense, BN scale=1 shift=0).
+  * Weight init matches weights_init (utils/utils.py:240-251), which the
+    reference applies to every model it trains: kaiming-normal fan_out/relu
+    convs + transpose convs, xavier-normal dense (bias 0), BN scale=1 shift=0.
 
 Candidate op registry parity: OPS/DownOps/UpOps/NormOps/OpType follow
 utils/operations.py:8-54. Op-set list order is load-bearing (alpha columns).
@@ -39,9 +40,57 @@ from senas_tpu.core.genotype import DownOps, NormOps, UpOps
 # Initializers / norm / activation builders
 # ---------------------------------------------------------------------------
 
-# torch kaiming_normal_ default: fan_in, gain sqrt(2) (leaky_relu a=0)
-kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# Init parity: the reference applies weights_init (utils/utils.py:240-251) to
+# EVERY model it trains -- experiments/train_model.py:131-133 and the supernet
+# at search/senas_search.py:126-127. Conv/ConvTranspose kernels get
+# kaiming_normal_(mode='fan_out', nonlinearity='relu'), nn.Linear gets
+# xavier_normal_, BatchNorm gets (weight=1, bias=0). Mirrored below.
+#
+# torch computes fans as fan_out = weight.size(0) * k*k, fan_in =
+# weight.size(1) * k*k. On our [k, k, I, O] Conv kernel layout torch's
+# Conv2d fan_out (O*k*k) is flax "fan_out"; but torch's ConvTranspose2d
+# weight layout is [Cin, Cout/groups, k, k], so its "fan_out" there is
+# Cin*k*k -- flax "fan_in" on our layout (groups == 1). Grouped/fused
+# layouts whose torch fan is visible to neither flax mode use
+# kaiming_normal_fan with the torch fan computed explicitly.
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+kaiming_normal_transpose = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+xavier_normal = nn.initializers.xavier_normal()
 xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def kaiming_normal_fan(fan: int):
+    """kaiming_normal_(nonlinearity='relu') with an explicit torch fan."""
+    std = (2.0 / fan) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def xavier_normal_fans(fan_in: int, fan_out: int):
+    """xavier_normal_ with explicit torch fans (for stacked/fused layouts
+    whose flax-inferred fans would be wrong, e.g. [E, in, out])."""
+    std = (2.0 / (fan_in + fan_out)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def torch_conv_bias(fan_in: int):
+    """torch Conv2d/ConvTranspose2d DEFAULT bias init: U(-b, b) with
+    b = 1/sqrt(fan_in). weights_init only re-inits Linear biases (to 0);
+    conv biases keep this torch default, so bias-carrying conv ports
+    mirror it. fan_in is the torch weight fan_in (Cin/groups * k * k)."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 Dtype = Any
 
@@ -311,9 +360,13 @@ class _ConvWeight(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)  # bf16 compute: params stay f32 masters
         c_in = x.shape[-1]
+        # torch fan_out: Conv2d -> c_out*k*k (flax "fan_out" on our layout,
+        # any groups); ConvTranspose2d -> c_in*k*k (weight.size(0) is Cin)
+        init = (kaiming_normal_fan(c_in * self.kernel_size ** 2)
+                if self.transpose else kaiming_normal)
         w = self.param(
             "kernel",
-            kaiming_normal,
+            init,
             (self.kernel_size, self.kernel_size, c_in // self.groups, self.c_out),
             jnp.float32,
         )
@@ -379,9 +432,11 @@ class SEBlock(nn.Module):
         c = x.shape[-1]
         mid = c // self.r if c > self.r else 1
         y = jnp.mean(x, axis=(1, 2))  # [B, C]
-        y = nn.Dense(mid, use_bias=False, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        # reference SEBlock is nn.Linear (operations.py:193-195) -> weights_init
+        # gives xavier_normal_ kernels (bias-free, matching bias=False)
+        y = nn.Dense(mid, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype)(y)
         y = relu(y)
-        y = nn.Dense(c, use_bias=False, kernel_init=xavier_uniform, dtype=self.dtype)(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype)(y)
         y = nn.sigmoid(y)
         return x * y[:, None, None, :]
 
@@ -491,7 +546,8 @@ class RectifyResample(nn.Module):
             if c_in == self.c_out:
                 out = upsample2x(out)
             else:
-                w = self.param("kernel", kaiming_normal, (1, 1, c_in, self.c_out), jnp.float32)
+                w = self.param("kernel", kaiming_normal_transpose,
+                               (1, 1, c_in, self.c_out), jnp.float32)
                 out = conv_transpose2d(out, w.astype(out.dtype), stride=2,
                                        output_padding=1, torch_padding=0)
         else:

@@ -41,11 +41,11 @@ from senas_tpu.ops.primitives import (
     build_norm,
     conv2d,
     conv_transpose2d,
-    kaiming_normal,
+    kaiming_normal_fan,
     max_pool_3x3,
     relu,
     upsample2x,
-    xavier_uniform,
+    xavier_normal_fans,
 )
 from senas_tpu.search.cell import MixedOp
 
@@ -136,13 +136,17 @@ class GroupedMixedOp(nn.Module):
         def grouped_bn(t, name):
             return build_norm(self.dtype, name=name)(t, use_running_average=not train)
 
+        # Init parity note: torch fans are PER-EDGE (the reference runs E
+        # separate ops), so every grouped param passes its torch fan
+        # explicitly — flax's inferred fans on [E,...] / [...,E*P] layouts
+        # would be off by a factor of E.
         def se_epilogue(name, out):
             """out: [b,oh,ow,E*P] post-BN; per-edge squeeze-excite."""
             mid = P // 16 if P > 16 else 1
             y = jnp.mean(out.reshape(b, oh, ow, E, P), axis=(1, 2))  # [B,E,P]
-            w1 = self.param(f"{name}_se1", xavier_uniform,
+            w1 = self.param(f"{name}_se1", xavier_normal_fans(P, mid),
                             (E, P, mid), jnp.float32).astype(out.dtype)
-            w2 = self.param(f"{name}_se2", xavier_uniform,
+            w2 = self.param(f"{name}_se2", xavier_normal_fans(mid, P),
                             (E, mid, P), jnp.float32).astype(out.dtype)
             y = relu(jnp.einsum("bep,epm->bem", y, w1))
             y = nn.sigmoid(jnp.einsum("bem,emp->bep", y, w2))
@@ -155,7 +159,7 @@ class GroupedMixedOp(nn.Module):
             out = grouped_bn(out, f"{name}_dbn")
             out = relu(out)
             out = out.reshape(b, oh, ow, C, E)
-            pkern = self.param(f"{name}_pkernel", kaiming_normal,
+            pkern = self.param(f"{name}_pkernel", kaiming_normal_fan(P),
                                (E, C, P), jnp.float32).astype(x.dtype)
             out = jnp.einsum("bhwce,ecp->bhwep", out, pkern)
             return out.reshape(b, oh, ow, E * P)
@@ -165,7 +169,8 @@ class GroupedMixedOp(nn.Module):
             return out.reshape(b, oh, ow, E, P)
 
         def conv_pre(name, k, dilation):
-            kern = self.param(f"{name}_kernel", kaiming_normal,
+            fan = (C if transpose else P) * k * k
+            kern = self.param(f"{name}_kernel", kaiming_normal_fan(fan),
                               (k, k, C, E * P), jnp.float32).astype(x.dtype)
             if transpose:
                 return conv_transpose2d(x, kern, stride=2, dilation=dilation,
@@ -181,7 +186,7 @@ class GroupedMixedOp(nn.Module):
         def depsep_pre(name, k):
             # depthwise with channel-multiplier E: output channel c*E+e;
             # everything up to the final pbn (which the epilogue can absorb)
-            dkern = self.param(f"{name}_dkernel", kaiming_normal,
+            dkern = self.param(f"{name}_dkernel", kaiming_normal_fan(C * k * k),
                                (k, k, 1, C * E), jnp.float32).astype(x.dtype)
             if transpose:
                 out = conv_transpose2d(x, dkern, stride=2, output_padding=1,
@@ -197,7 +202,7 @@ class GroupedMixedOp(nn.Module):
         def adapter_pre(name, base):
             # base: [B,oh,ow,C] (pool/upsample/identity)
             if C != P:
-                kern = self.param(f"{name}_kernel", kaiming_normal,
+                kern = self.param(f"{name}_kernel", kaiming_normal_fan(P),
                                   (1, 1, C, E * P), jnp.float32).astype(x.dtype)
                 return conv2d(base, kern)
             return jnp.tile(base, (1, 1, 1, E))
@@ -266,9 +271,9 @@ class GroupedMixedOp(nn.Module):
             se_w1 = se_w2 = None
             if se_pos is not None:
                 mid = P // 16 if P > 16 else 1
-                se_w1 = self.param("se_conv_3_se1", xavier_uniform,
+                se_w1 = self.param("se_conv_3_se1", xavier_normal_fans(P, mid),
                                    (E, P, mid), jnp.float32)
-                se_w2 = self.param("se_conv_3_se2", xavier_uniform,
+                se_w2 = self.param("se_conv_3_se2", xavier_normal_fans(mid, P),
                                    (E, mid, P), jnp.float32)
             none_col = none_y = None
             if none_idx is not None:
@@ -310,17 +315,20 @@ class GroupedMixedOp(nn.Module):
 
             for name in ops:
                 if name in ("conv_3", "se_conv_3"):
-                    kern = self.param(f"{name}_kernel", kaiming_normal,
+                    kern = self.param(f"{name}_kernel",
+                                      kaiming_normal_fan((C if transpose else P) * 9),
                                       (3, 3, C, E * P), jnp.float32).astype(x.dtype)
                     collect(name, kern, "se" if name == "se_conv_3" else "conv")
                 elif name in ("dil_3_conv_5", "dil_2_conv_5") and MERGE_DILATED:
                     d = 3 if name == "dil_3_conv_5" else 2
-                    kern = self.param(f"{name}_kernel", kaiming_normal,
+                    kern = self.param(f"{name}_kernel",
+                                      kaiming_normal_fan((C if transpose else P) * 25),
                                       (5, 5, C, E * P), jnp.float32).astype(x.dtype)
                     collect(name, kern, "conv", dilation=d)
                 elif name in ("dep_sep_conv_3", "dep_sep_conv_5"):
                     k = 3 if name.endswith("_3") else 5
-                    dkern = self.param(f"{name}_dkernel", kaiming_normal,
+                    dkern = self.param(f"{name}_dkernel",
+                                       kaiming_normal_fan(C * k * k),
                                        (k, k, 1, C * E), jnp.float32).astype(x.dtype)
                     collect(name, _densify_depthwise(dkern, C), "dw")
             if parts:

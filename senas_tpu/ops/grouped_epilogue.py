@@ -98,8 +98,17 @@ def _stats_kernel(*refs):
 
     for x, s1, s2 in zip(in_refs, s1_refs, s2_refs):
         xb = x[0].astype(jnp.float32)          # [h_tile, W*C]
-        s1[0, :] += jnp.sum(xb, axis=0)
-        s2[0, :] += jnp.sum(xb * xb, axis=0)
+        s1[0, 0, :] += jnp.sum(xb, axis=0)
+        s2[0, 0, :] += jnp.sum(xb * xb, axis=0)
+
+
+# Mosaic tiling note (bug found on the first real-chip run; interpret mode
+# never catches it): a [B, WC] array with block (1, wc) puts a size-1,
+# non-tile-aligned slice in the SECOND-MINOR (sublane) dim, which Mosaic
+# rejects against the (8, 128) f32 tile. All per-(b, wc) stat/broadcast
+# arrays therefore carry an explicit singleton MINOR-2 axis — [B, 1, WC]
+# with block (1, 1, wc) — so every block fully covers its last two dims
+# (legal: Mosaic pads a fully-covered dim internally).
 
 
 def _branch_stats(xs_flat: Sequence[jax.Array], interpret: bool = False):
@@ -111,9 +120,9 @@ def _branch_stats(xs_flat: Sequence[jax.Array], interpret: bool = False):
     grid = (b, h // ht)
     in_specs = [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM) for _ in range(n)]
-    out_specs = [pl.BlockSpec((1, wc), lambda i, j: (i, 0),
+    out_specs = [pl.BlockSpec((1, 1, wc), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM) for _ in range(2 * n)]
-    out_shape = [jax.ShapeDtypeStruct((b, wc), jnp.float32)] * (2 * n)
+    out_shape = [jax.ShapeDtypeStruct((b, 1, wc), jnp.float32)] * (2 * n)
     outs = pl.pallas_call(
         _stats_kernel,
         grid=grid,
@@ -122,7 +131,8 @@ def _branch_stats(xs_flat: Sequence[jax.Array], interpret: bool = False):
         out_shape=out_shape,
         interpret=interpret,
     )(*xs_flat)
-    return jnp.stack(outs[:n]), jnp.stack(outs[n:])
+    return (jnp.stack(outs[:n]).reshape(n, b, wc),
+            jnp.stack(outs[n:]).reshape(n, b, wc))
 
 
 # ---------------------------------------------------------------------------
@@ -131,14 +141,16 @@ def _branch_stats(xs_flat: Sequence[jax.Array], interpret: bool = False):
 
 
 def _apply_kernel(*refs):
-    # refs: n inputs, then A [n,1,WC] per-b block, K [1,WC] per-b block, out
+    # refs: n inputs, then A [n,1,1,WC] per-b block, K [1,1,WC] per-b
+    # block, out
     n = len(refs) - 3
     in_refs = refs[:n]
     a_ref, k_ref, out_ref = refs[n], refs[n + 1], refs[n + 2]
     ht = out_ref.shape[1]
-    acc = jnp.broadcast_to(k_ref[0].astype(jnp.float32), (ht, k_ref.shape[1]))
+    acc = jnp.broadcast_to(k_ref[0, 0].astype(jnp.float32),
+                           (ht, k_ref.shape[2]))
     for o, x in enumerate(in_refs):
-        acc = acc + x[0].astype(jnp.float32) * a_ref[o, 0].astype(jnp.float32)
+        acc = acc + x[0].astype(jnp.float32) * a_ref[o, 0, 0].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -152,9 +164,9 @@ def _apply_mix(xs_flat, a, k, out_dtype, interpret: bool = False):
     in_specs = (
         [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                       memory_space=pltpu.VMEM) for _ in range(n)]
-        + [pl.BlockSpec((n, 1, wc), lambda i, j: (0, i, 0),
+        + [pl.BlockSpec((n, 1, 1, wc), lambda i, j: (0, i, 0, 0),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((1, wc), lambda i, j: (i, 0),
+           pl.BlockSpec((1, 1, wc), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)]
     )
     out_spec = pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
@@ -166,7 +178,7 @@ def _apply_mix(xs_flat, a, k, out_dtype, interpret: bool = False):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, wc), out_dtype),
         interpret=interpret,
-    )(*xs_flat, a, k)
+    )(*xs_flat, a.reshape(n, b, 1, wc), k.reshape(b, 1, wc))
 
 
 # ---------------------------------------------------------------------------
@@ -186,9 +198,9 @@ def _bwd_reduce_kernel(*refs):
         dk_ref[...] = jnp.zeros_like(dk_ref)
 
     g = g_ref[0].astype(jnp.float32)           # [h_tile, WC]
-    dk_ref[0, :] += jnp.sum(g, axis=0)
+    dk_ref[0, 0, :] += jnp.sum(g, axis=0)
     for o, x in enumerate(in_refs):
-        da_ref[o, 0, :] += jnp.sum(g * x[0].astype(jnp.float32), axis=0)
+        da_ref[o, 0, 0, :] += jnp.sum(g * x[0].astype(jnp.float32), axis=0)
 
 
 def _bwd_reduce(xs_flat, g, interpret: bool = False):
@@ -200,13 +212,13 @@ def _bwd_reduce(xs_flat, g, interpret: bool = False):
     grid = (b, h // ht)
     in_specs = [pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM) for _ in range(n + 1)]
-    out_specs = [pl.BlockSpec((n, 1, wc), lambda i, j: (0, i, 0),
+    out_specs = [pl.BlockSpec((n, 1, 1, wc), lambda i, j: (0, i, 0, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, wc), lambda i, j: (i, 0),
+                 pl.BlockSpec((1, 1, wc), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((n, b, wc), jnp.float32),
-                 jax.ShapeDtypeStruct((b, wc), jnp.float32)]
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((n, b, 1, wc), jnp.float32),
+                 jax.ShapeDtypeStruct((b, 1, wc), jnp.float32)]
+    da, dk = pl.pallas_call(
         _bwd_reduce_kernel,
         grid=grid,
         in_specs=in_specs,
@@ -214,6 +226,7 @@ def _bwd_reduce(xs_flat, g, interpret: bool = False):
         out_shape=out_shape,
         interpret=interpret,
     )(*xs_flat, g)
+    return da.reshape(n, b, wc), dk.reshape(b, wc)
 
 
 # ---------------------------------------------------------------------------
@@ -228,9 +241,10 @@ def _bwd_dx_kernel(*refs):
     out_refs = refs[n + 4:]
     g = g_ref[0].astype(jnp.float32)           # [h_tile, WC]
     for o, (x, out) in enumerate(zip(in_refs, out_refs)):
-        dx = (g * a_ref[o, 0].astype(jnp.float32)
-              + ds1_ref[o, 0].astype(jnp.float32)
-              + 2.0 * x[0].astype(jnp.float32) * ds2_ref[o, 0].astype(jnp.float32))
+        dx = (g * a_ref[o, 0, 0].astype(jnp.float32)
+              + ds1_ref[o, 0, 0].astype(jnp.float32)
+              + 2.0 * x[0].astype(jnp.float32)
+              * ds2_ref[o, 0, 0].astype(jnp.float32))
         out[0] = dx.astype(out.dtype)
 
 
@@ -243,7 +257,7 @@ def _bwd_dx(xs_flat, g, a, ds1, ds2, interpret: bool = False):
     grid = (b, h // ht)
     blk = lambda: pl.BlockSpec((1, ht, wc), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
-    bcast = lambda: pl.BlockSpec((n, 1, wc), lambda i, j: (0, i, 0),
+    bcast = lambda: pl.BlockSpec((n, 1, 1, wc), lambda i, j: (0, i, 0, 0),
                                  memory_space=pltpu.VMEM)
     in_specs = ([blk() for _ in range(n + 1)] + [bcast(), bcast(), bcast()])
     out_specs = [blk() for _ in range(n)]
@@ -255,7 +269,8 @@ def _bwd_dx(xs_flat, g, a, ds1, ds2, interpret: bool = False):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*xs_flat, g, a, ds1, ds2)
+    )(*xs_flat, g, a.reshape(n, b, 1, wc), ds1.reshape(n, b, 1, wc),
+      ds2.reshape(n, b, 1, wc))
 
 
 # ---------------------------------------------------------------------------

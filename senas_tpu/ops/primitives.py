@@ -104,8 +104,16 @@ def _use_pallas_bn() -> bool:
     """Gate for routing every 4-D BatchNorm through the Pallas fused affine
     kernels (ops/grouped_epilogue.py with n=1): stats + apply over a
     [B,H,W*C] lane-filling view instead of XLA's C-minor elementwise graph.
-    Read at call time so tests/benches can toggle it; default off until it
-    beats XLA on-chip (keep-the-winner)."""
+
+    MEASURED NEGATIVE on the v5e (keep-the-winner, BASELINE.md round 3):
+    fixed-train bf16 batch 12 @ 256² is 0.82x with the gate on (85.6 ->
+    70.2 img/s) and HBM bytes/step RISE 87.5 -> 98.5 GB — a standalone
+    Pallas BN opts the tensor out of XLA's larger conv/elementwise fusions,
+    so it pays extra reads the fused XLA graph never issues. The win of the
+    same kernels in GroupedMixedOp (n=6 branches, default ON there) comes
+    from amortizing the stats/apply sweeps across branches + killing the
+    alpha-mix pass; at n=1 there is nothing to amortize. Default stays OFF;
+    the env var remains for tests/benches."""
     return os.environ.get("SENAS_PALLAS_BN", "0") == "1"
 
 

@@ -72,8 +72,19 @@ MERGE_DILATED = os.environ.get("SENAS_MERGE_DILATED", "0") == "1"
 def _use_pallas_epilogue() -> bool:
     """Gate for the Pallas fused BN+SE+alpha-mix epilogue
     (ops/grouped_epilogue.py). Read at call time so tests can toggle it.
-    Default off until it beats the XLA epilogue on-chip (keep-the-winner)."""
-    return os.environ.get("SENAS_PALLAS_EPILOGUE", "0") == "1"
+
+    Adjudicated on the v5e chip (keep-the-winner, BASELINE.md round 3):
+    full bilevel search step 432.1 ms (XLA) vs 426.4 ms (Pallas), 1.013x,
+    with HBM bytes/step 324 -> 300 GB — so the default is ON where the
+    kernels actually lower (TPU). On CPU the Pallas path runs in interpret
+    mode (orders of magnitude slower), so the default stays OFF there;
+    tests that pin the gate set the env var explicitly."""
+    v = os.environ.get("SENAS_PALLAS_EPILOGUE")
+    if v is not None:
+        return v == "1"
+    # ON exactly where the kernels lower natively (the integration picks
+    # interpret mode by this same check).
+    return jax.default_backend() != "cpu"
 
 
 class _EpilogueBN(nn.Module):

@@ -15,6 +15,9 @@ Public surface:
 - ``import_search_checkpoint(path_or_ckpt, depth, meta_node_num)`` —
   supernet weights (naive or production fused layout) + architecture
   parameters from a search-CLI checkpoint.
+- ``import_zoo_checkpoint(path_or_ckpt, model_name)`` — baseline-zoo
+  (vendored-smp) model weights from a train-CLI checkpoint, for any of
+  the reference factory's 8 smp baselines (``ZOO_MODEL_NAMES``).
 - ``translate_resnet_encoder(sd, name)`` — torchvision-style ResNet /
   ResNeXt ImageNet state_dict -> our ResNetEncoder variables (local-file
   replacement for smp's pretrained-weight URLs, encoders/__init__.py:64-71).
@@ -26,6 +29,9 @@ checkpoint into an Orbax checkpoint directory that the train/test runners
 accept via ``--resume``.
 """
 
+from senas_tpu.compat.zoo_import import (ZOO_MODEL_NAMES,
+                                         import_zoo_checkpoint,
+                                         translate_zoo_model)
 from senas_tpu.compat.torch_import import (classify_checkpoint,
                                            import_fixed_checkpoint,
                                            import_search_checkpoint,
@@ -38,9 +44,11 @@ from senas_tpu.compat.torch_import import (classify_checkpoint,
                                            translate_senas_search)
 
 __all__ = [
+    "ZOO_MODEL_NAMES",
     "classify_checkpoint",
     "import_fixed_checkpoint",
     "import_search_checkpoint",
+    "import_zoo_checkpoint",
     "load_torch_checkpoint",
     "set_encoder_variables",
     "state_dict_to_numpy",
@@ -48,4 +56,5 @@ __all__ = [
     "translate_resnet_encoder",
     "translate_senas_model",
     "translate_senas_search",
+    "translate_zoo_model",
 ]

@@ -64,6 +64,11 @@ def main():
                     help="output Orbax checkpoint directory")
     ap.add_argument("--kind", default="auto",
                     choices=["auto", "train", "search"])
+    ap.add_argument("--model", default="senas",
+                    help="model the checkpoint was trained with (train "
+                         "kind): senas or any reference baseline name "
+                         "(unet, unet_plus_plus, manet, linknet, fpn, "
+                         "pspnet, deeplab_v3_plus, pan)")
     ap.add_argument("--genotype", default="",
                     help="genotype string (train kind; default: the "
                          "config's training.geno_type)")
@@ -91,22 +96,29 @@ def main():
     x0 = jnp.zeros((1, hw[0], hw[1], spec.in_channels), jnp.float32)
 
     if kind == "train":
-        from senas_tpu.models import geno_searched
-        from senas_tpu.models.senas_model import SenasModel
+        from senas_tpu.compat import ZOO_MODEL_NAMES, import_zoo_checkpoint
+        from senas_tpu.models.factory import get_segmentation_model
         from senas_tpu.runner.train import resolve_genotype
         from senas_tpu.train.trainer import FixedTrainState
 
         t = cfg["training"]
         depth = args.depth if args.depth > 0 else t.get("depth", 5)
         genotype = resolve_genotype(cfg, args.genotype)
-        model = SenasModel(
-            nclass=spec.num_class, in_channels=spec.in_channels,
+        model = get_segmentation_model(
+            args.model, dataset=cfg["data"]["dataset"],
             c=t.get("init_channels", 32), depth=depth,
-            genotype=genotype, supervision=t.get("deep_supervision", False),
+            supervision=t.get("deep_supervision", False), genotype=genotype,
             double_down_channel=t.get("double_down_channel", False))
         template = model.init({"params": rng}, x0, False)
-        variables, meta = import_fixed_checkpoint(ckpt, genotype, depth)
-        _check_structure(template, variables, "fixed model")
+        if args.model == "senas":
+            variables, meta = import_fixed_checkpoint(ckpt, genotype, depth)
+        elif args.model in ZOO_MODEL_NAMES:
+            variables, meta = import_zoo_checkpoint(ckpt, args.model)
+        else:
+            raise SystemExit(
+                f"--model {args.model!r} has no torch translator (supported: "
+                f"senas, {', '.join(ZOO_MODEL_NAMES)})")
+        _check_structure(template, variables, args.model)
         tx = build_optimizer(t.get("model_optimizer"))
         state = FixedTrainState.create(
             jax.tree.map(jnp.asarray, variables), tx)

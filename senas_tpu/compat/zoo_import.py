@@ -2,12 +2,14 @@
 
 The reference's train CLI can train any of the vendored smp baselines
 (`--model unet|unet_plus_plus|manet|linknet|fpn|pspnet|deeplab_v3_plus|pan`,
-models/__init__.py:8-90); its checkpoints hold the smp model's state_dict
+models/__init__.py:8-90) plus the prior-work `nasunet`
+(models/nasunet/nas_unet.py); smp checkpoints hold the model's state_dict
 (`encoder.* / decoder.* / segmentation_head.* [/ classification_head.*]`,
 base/model.py:5-24). This module translates those state_dicts, per
-architecture, into the variable trees of `senas_tpu/models/zoo.py` — the
-dotted-key counterpart of the module-traversal translators that pin zoo
-parity in tests/test_zoo_parity.py.
+architecture, into the variable trees of `senas_tpu/models/zoo.py` /
+`models/nasunet.py` — the dotted-key counterpart of the module-traversal
+translators that pin zoo parity in tests/test_zoo_parity.py and
+tests/test_nasunet_parity.py.
 
 Key torch layouts handled (vendored smp):
 - Conv2dReLU = Sequential(conv, bn|Identity, relu) (base/modules.py:10-48)
@@ -255,7 +257,64 @@ def _pan(sd):
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# NasUnet (models/nasunet/nas_unet.py — its own op vocabulary, GroupNorm,
+# so no batch_stats collection)
+# ---------------------------------------------------------------------------
+
+def _nas_convops(t: _Tree, transpose: bool):
+    p = {"conv": (_tconv if transpose else _conv)(t.t("conv.weight"))}
+    if t.has("norm.weight"):
+        p["GroupNorm_0"] = {"scale": t.t("norm.weight").copy(),
+                            "bias": t.t("norm.bias").copy()}
+    return p
+
+
+def _nas_op(t: _Tree, name: str):
+    """One genotype op (prim_ops_set.py ConvOps / CWeightOp / pooling /
+    identity). Parameterless ops are detected by key absence."""
+    if not any(k.startswith(t.prefix) for k in t.sd):
+        return None
+    transpose = name.startswith("up_")
+    if "cweight" in name:
+        p = {"Dense_0": {"kernel": _dense(t.t("fc.0.weight")),
+                         "bias": t.t("fc.0.bias").copy()},
+             "Dense_1": {"kernel": _dense(t.t("fc.2.weight")),
+                         "bias": t.t("fc.2.bias").copy()}}
+        if t.has("conv.weight"):  # stride>=2 variants own a conv + norm
+            p.update(_nas_convops(t, transpose))
+        return p
+    return _nas_convops(t, transpose)
+
+
+def _nasunet_cell(t: _Tree, names):
+    p = {"preprocess0": _nas_convops(t.sub("preprocess0"), False),
+         "preprocess1": _nas_convops(t.sub("preprocess1"), False)}
+    for j, nm in enumerate(names):
+        op_p = _nas_op(t.sub(f"_ops.{j}"), nm)
+        if op_p is not None:
+            p[f"op_{j}"] = op_p
+    return p
+
+
+def _nasunet(sd):
+    from senas_tpu.models.nasunet import NAS_UNET_V3
+    tree = _Tree(sd)
+    down_names = [nm for nm, _ in NAS_UNET_V3.down]
+    up_names = [nm for nm, _ in NAS_UNET_V3.up]
+    params = {"stem0": _nas_convops(tree.sub("stem0"), False),
+              "stem1": _nas_convops(tree.sub("stem1"), False)}
+    for i in range(_count(sd, "down_cells.{}.preprocess0.conv.weight")):
+        params[f"down_{i}"] = _nasunet_cell(tree.sub(f"down_cells.{i}"),
+                                            down_names)
+    for i in range(_count(sd, "up_cells.{}.preprocess0.conv.weight")):
+        params[f"up_{i}"] = _nasunet_cell(tree.sub(f"up_cells.{i}"), up_names)
+    params["head"] = {"conv": _conv(tree.t("nas_unet_head.conv.weight"))}
+    return params, {}
+
+
 _TRANSLATORS = {
+    "nasunet": _nasunet,
     "unet": _unet,
     "unet_plus_plus": _unetplusplus,
     "unetplusplus": _unetplusplus,
@@ -279,7 +338,10 @@ def translate_zoo_model(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
                        f"{ZOO_MODEL_NAMES}")
     sd = state_dict_to_numpy(sd)
     params, stats = _TRANSLATORS[model_name](sd)
-    return {"params": params, "batch_stats": stats}
+    out = {"params": params}
+    if stats:  # nasunet is GroupNorm-only — no batch_stats collection
+        out["batch_stats"] = stats
+    return out
 
 
 def import_zoo_checkpoint(path_or_ckpt, model_name: str):

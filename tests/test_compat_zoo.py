@@ -222,4 +222,38 @@ def test_import_pan(smp_mods):
 
 def test_unknown_model_rejected():
     with pytest.raises(KeyError, match="no zoo translator"):
-        translate_zoo_model({}, "nasunet")
+        translate_zoo_model({}, "segformer")
+
+
+def test_import_nasunet():
+    """NasUnet state_dict round-trip through the zoo import API (the
+    reference's 10th trainable model, models/nasunet/nas_unet.py)."""
+    import test_nasunet_parity as nup
+
+    from senas_tpu.models.nasunet import NasUnet
+
+    gen = nup.ref_nasunet_mod.__wrapped__()  # generator fixture, drive by hand
+    ref_mod = next(gen)
+    try:
+        nclass, in_ch, c, depth = 2, 1, 16, 3
+        torch.manual_seed(0)
+        ref = ref_mod.NasUnet(nclass, in_ch, c=c, depth=depth,
+                              dropout_prob=0, double_down_channel=False)
+        ref.eval()
+        variables = translate_zoo_model(ref.state_dict(), "nasunet")
+        assert "batch_stats" not in variables
+
+        ours = NasUnet(nclass=nclass, in_channels=in_ch, c=c, depth=depth)
+        x = np.random.RandomState(0).randn(2, 32, 32, in_ch).astype(np.float32)
+        template = ours.init({"params": jax.random.PRNGKey(0)},
+                             jnp.asarray(x), False)
+        zp._paths_equal(template, variables)
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))[-1]
+        ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+        out = ours.apply(jax.tree.map(jnp.asarray, variables),
+                         jnp.asarray(x), False)[-1]
+        np.testing.assert_allclose(np.asarray(out), ref_out,
+                                   rtol=2e-4, atol=2e-5)
+    finally:
+        gen.close()

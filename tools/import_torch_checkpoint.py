@@ -68,7 +68,7 @@ def main():
                     help="model the checkpoint was trained with (train "
                          "kind): senas or any reference baseline name "
                          "(unet, unet_plus_plus, manet, linknet, fpn, "
-                         "pspnet, deeplab_v3_plus, pan)")
+                         "pspnet, deeplab_v3_plus, pan, nasunet)")
     ap.add_argument("--genotype", default="",
                     help="genotype string (train kind; default: the "
                          "config's training.geno_type)")

@@ -709,9 +709,15 @@ def main():
     results = {"platform": platform, "device": str(jax.devices()[0]), "hw": hw,
                "steps_timed": steps}
 
-    def stage(key, desc, fn, needed: float):
+    def stage(key, desc, fn, needed: float, retries: int = 0):
         """Run one stage with budget guard + error isolation; persist and
-        re-emit the cumulative headline the moment it completes."""
+        re-emit the cumulative headline the moment it completes.
+
+        ``retries``: re-attempts after a failure (headline stages only).
+        The axon remote-compile helper occasionally dies with a transient
+        SIGKILL mid-compile (observed 2026-08-18: the bilevel-search
+        compile failed once, then succeeded unchanged on the retry run) —
+        one retry keeps a transient from nulling the round's headline."""
         if remaining() < needed:
             results[key] = {"skipped": f"budget: {remaining():.0f}s left, "
                                        f"stage needs ~{needed:.0f}s"}
@@ -719,12 +725,17 @@ def main():
             _write_results(results)
             return
         log(f"{desc} ...")
-        try:
-            results[key] = fn()
-            log(f"  done in stage; {json.dumps(results[key], default=str)[:200]}")
-        except Exception as e:
-            results[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
-            log(f"  {desc} FAILED: {results[key]['error'][:200]}")
+        for attempt in range(retries + 1):
+            try:
+                results[key] = fn()
+                log(f"  done in stage; "
+                    f"{json.dumps(results[key], default=str)[:200]}")
+                break
+            except Exception as e:
+                results[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+                log(f"  {desc} FAILED: {results[key]['error'][:200]}")
+                if attempt < retries and remaining() > needed + 60:
+                    log(f"  retrying {desc} ({attempt + 1}/{retries}) ...")
         _emit_headline(results, hw, train_bs)
         _write_results(results)
 
@@ -734,7 +745,7 @@ def main():
     stage("train_bf16", "fixed-train bf16",
           lambda: dict(bench_fixed_train(train_bs, hw, steps,
                                          dtype=jnp.bfloat16), dtype="bf16"),
-          needed=0)
+          needed=0, retries=1)
 
     def _search():
         r = dict(bench_search(search_bs, hw, steps, fused=True,
@@ -747,7 +758,7 @@ def main():
     # needed=60: always attempt unless the budget is essentially gone — a
     # warm persistent cache turns the 6-15 min compile into seconds.
     stage("search_fused", "supernet search (fused cell, bf16)", _search,
-          needed=60)
+          needed=60, retries=1)
 
     stage("inference_bf16", "inference (eval forward, bf16)",
           lambda: bench_inference(hw, steps, dtype=jnp.bfloat16), needed=90)

@@ -353,7 +353,7 @@ def import_zoo_checkpoint(path_or_ckpt, model_name: str):
     sd = ckpt["model_state"] if "model_state" in ckpt else ckpt
     variables = translate_zoo_model(sd, model_name)
     meta = {
-        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+        "epoch": int(ckpt.get("epoch", 0)),
         "dur_time": float(ckpt.get("dur_time", 0.0)),
         "best_dice": float(ckpt.get("best_dice_coeff", 0.0)),
         "best_miou": float(ckpt.get("best_mIoU", 0.0)),

@@ -35,13 +35,22 @@ from jax import export as jax_export
 
 def export_predict_fn(apply_fn: Callable, variables: Dict[str, Any],
                       in_shape: Tuple[int, int, int],
-                      platforms=("tpu", "cpu")) -> "jax_export.Exported":
+                      platforms=("tpu", "cpu"),
+                      matmul_precision: Optional[str] = None,
+                      ) -> "jax_export.Exported":
     """Export eval-mode logits with a symbolic batch dimension.
 
     ``apply_fn(variables, x, train)`` must return the deep-supervision
     list; the exported function returns only the final logits (the
     testing_model.py serving output). Weights are closed over — the
     artifact is self-contained.
+
+    ``matmul_precision``: None keeps the backend default — on TPU that is
+    bf16 MXU inputs, measured ~2 absolute logit error vs a CPU f32
+    reference on a random-init c=8 net (direct apply shows the SAME
+    divergence; it is platform noise, not an export artifact).
+    Pass "float32" for f32-faithful serving (measured 3e-4 vs CPU on the
+    same net) at ~1.3-2x the matmul cost.
     """
     h, w, c = in_shape
     frozen = jax.tree.map(jnp.asarray, variables)
@@ -51,6 +60,13 @@ def export_predict_fn(apply_fn: Callable, variables: Dict[str, Any],
         if isinstance(out, tuple):  # aux_params models: (masks, labels)
             out = out[0]
         return out[-1] if isinstance(out, (list, tuple)) else out
+
+    if matmul_precision:
+        inner = predict
+
+        def predict(x):  # noqa: F811 — precision-wrapped variant
+            with jax.default_matmul_precision(matmul_precision):
+                return inner(x)
 
     (b,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)

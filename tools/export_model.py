@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and verify logits match the "
                          "in-process model on a random batch")
+    ap.add_argument("--f32", action="store_true",
+                    help="force float32 matmul precision inside the "
+                         "artifact (f32-faithful serving; TPU default is "
+                         "bf16 MXU inputs)")
     args = ap.parse_args()
 
     from senas_tpu.core.config import load_config
@@ -76,7 +80,9 @@ def main():
         variables["batch_stats"] = raw["batch_stats"]
 
     in_shape = (hw[0], hw[1], spec.in_channels)
-    exported = export_predict_fn(model.apply, variables, in_shape)
+    exported = export_predict_fn(
+        model.apply, variables, in_shape,
+        matmul_precision="float32" if args.f32 else None)
     meta = {
         "model": args.model,
         "dataset": cfg["data"]["dataset"],
@@ -86,6 +92,7 @@ def main():
         "checkpoint": os.path.abspath(args.resume),
         "checkpoint_name": name,
         "checkpoint_meta": restored.get("meta", {}),
+        "matmul_precision": "float32" if args.f32 else "backend-default",
     }
     save_artifact(exported, meta, args.out)
     size = os.path.getsize(os.path.join(args.out, "model.stablehlo"))

@@ -33,6 +33,7 @@ def get_segmentation_model(name: str, dataset: str = "promise12", **kwargs: Any)
                           supervision=kwargs.get("supervision", False),
                           genotype=kwargs["genotype"],
                           double_down_channel=kwargs.get("double_down_channel", False),
+                          remat=kwargs.get("remat", False),
                           dtype=dtype)
     if name == "nasunet":
         return NasUnet(nclass=nclass, in_channels=in_ch, depth=depth, dtype=dtype)

@@ -136,6 +136,12 @@ class SenasModel(nn.Module):
     genotype: Optional[Genotype] = None
     double_down_channel: bool = False
     dtype: Optional[Any] = None
+    # Rematerialize each cell's activations in the backward pass
+    # (jax.checkpoint via flax's lifted transform). Identical math and
+    # parameter tree; trades ~1 extra forward FLOP per cell for O(depth^2)
+    # less live activation memory — the knob that lets big configs
+    # (512^2 inputs, hippo batch 256) fit HBM. Config: training.remat.
+    remat: bool = False
 
     def setup(self):
         assert self.depth >= 2, "depth must >= 2"
@@ -143,6 +149,8 @@ class SenasModel(nn.Module):
         double_down = 2 if self.double_down_channel else 1
         c_in0 = c_in1 = c_curr = self.c
         self.gamma = list(genotype.gamma)
+        # static_argnums counts self as 0: BuildCell.__call__(self, in0, in1, train)
+        Cell = nn.remat(BuildCell, static_argnums=(3,)) if self.remat else BuildCell
 
         self.stem0 = ConvBn(c_in0, kernel_size=7, dtype=self.dtype)
         self.stem1_block = BasicBlock(c_in1, stride=1, dtype=self.dtype)
@@ -157,9 +165,9 @@ class SenasModel(nn.Module):
                 c_curr = int(double_down * c_curr)
                 down_f.append([c_in0, c_in1, c_curr, "down"])
                 down_cells.append(
-                    BuildCell(genotype, double_down, c_in0, c_in1, c_curr, "down",
-                              dropout_prob=self.dropout_prob, dtype=self.dtype,
-                              name=f"down_{i}")
+                    Cell(genotype, double_down, c_in0, c_in1, c_curr, "down",
+                         dropout_prob=self.dropout_prob, dtype=self.dtype,
+                         name=f"down_{i}")
                 )
                 c_in0, c_in1 = c_in1, c_curr
         num_filters.append(down_f)
@@ -178,7 +186,7 @@ class SenasModel(nn.Module):
                     head_in0 = sum(num_filters[k][j][2] for k in range(i))
                     head_in1 = head_down
                     up_f.append([head_in0, head_in1, head_curr, "up"])
-                    up_cells[f"up_{i}_{j}"] = BuildCell(
+                    up_cells[f"up_{i}_{j}"] = Cell(
                         genotype, double_down, head_in0, head_in1, head_curr, "up",
                         dropout_prob=self.dropout_prob, dtype=self.dtype,
                         name=f"up_{i}_{j}",

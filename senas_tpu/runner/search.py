@@ -79,7 +79,8 @@ class SearchRunner:
             nclass=self.n_classes, depth=self.depth,
             meta_node_num=self.meta_node_num,
             double_down_channel=s.get("double_down_channel", False),
-            supervision=s.get("deep_supervision", False), dtype=dtype)
+            supervision=s.get("deep_supervision", False),
+            remat=s.get("remat", False), dtype=dtype)
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
         arch = init_arch_params(jax.random.split(rng)[1], self.meta_node_num,
                                 self.depth, use_sharing=self.use_sharing)

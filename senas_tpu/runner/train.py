@@ -83,7 +83,8 @@ class TrainRunner:
             model_name, dataset=ds_name, c=t.get("init_channels", 32),
             depth=t.get("depth", 5), supervision=t.get("deep_supervision", False),
             genotype=genotype,
-            double_down_channel=t.get("double_down_channel", False), dtype=dtype)
+            double_down_channel=t.get("double_down_channel", False),
+            remat=t.get("remat", False), dtype=dtype)
 
         hw = spec.crop_size
         rng = jax.random.PRNGKey(cfg.get("seed", 0))

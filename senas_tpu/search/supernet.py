@@ -151,10 +151,18 @@ class SenasSearch(nn.Module):
     # math, ~3x smaller XLA graph and wider convs; False keeps the naive
     # per-edge reference layout for cross-checking.
     fused: bool = True
+    # Rematerialize per-cell activations in the backward pass (jax.checkpoint
+    # via flax's lifted transform) — identical math/params, O(cells) less live
+    # activation memory for the bilevel step. Config: searching.remat.
+    remat: bool = False
 
     def setup(self):
         assert self.depth >= 2, "depth must >= 2"
         Cell = FusedSearchCell if self.fused else SearchCell
+        if self.remat:
+            # static_argnums counts self as 0:
+            # Cell.__call__(self, in0, in1, w_norm, w_chg, betas, train)
+            Cell = nn.remat(Cell, static_argnums=(6,))
         double_down = 2 if self.double_down_channel else 1
         c_in0 = c_in1 = c_curr = self.c
 

@@ -102,14 +102,41 @@ def load_artifact(out_dir: str) -> Tuple["jax_export.Exported", Dict[str, Any]]:
 
 class Predictor:
     """Loaded serving artifact. Batch-polymorphic: any leading batch size
-    runs without re-export (XLA compiles per concrete shape and caches)."""
+    runs without re-export (XLA compiles per concrete shape and caches).
 
-    def __init__(self, out_dir: str):
+    ``data_parallel=True`` shards the request batch over every visible
+    device (a 1-D ``jax.sharding.Mesh`` on the batch axis; GSPMD runs the
+    exported program SPMD — the multi-chip serving path, e.g. a v5e-8
+    pod slice serving 8x the batch). Requests whose batch is not a
+    multiple of the device count are zero-padded to the next multiple and
+    sliced back after — callers see identical semantics either way.
+    """
+
+    def __init__(self, out_dir: str, data_parallel: bool = False,
+                 devices=None):
         self.exported, self.meta = load_artifact(out_dir)
-        self._call = jax.jit(self.exported.call)
+        self._n_shard = 1
+        if data_parallel:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devs = list(devices if devices is not None else jax.devices())
+            mesh = Mesh(np.asarray(devs), ("data",))
+            self._n_shard = len(devs)
+            self.mesh = mesh
+            self._call = jax.jit(
+                self.exported.call,
+                in_shardings=NamedSharding(mesh, P("data")),
+                out_shardings=NamedSharding(mesh, P("data")))
+        else:
+            self._call = jax.jit(self.exported.call)
 
     def logits(self, x: np.ndarray) -> jax.Array:
-        return self._call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, jnp.float32)
+        pad = (-x.shape[0]) % self._n_shard
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            return self._call(x)[: x.shape[0] - pad]
+        return self._call(x)
 
     def predict_masks(self, x: np.ndarray) -> np.ndarray:
         """[B,H,W,C_in] float input -> [B,H,W] uint8 class masks (the

@@ -108,3 +108,28 @@ def test_export_tool_cli(tiny_model, tmp_path):
     assert meta["checkpoint_meta"]["best_dice"] == 77.0
     # the synthetic spec is 64x64: the tool exports at dataset geometry
     assert meta["input_hw"] == [64, 64]
+
+def test_data_parallel_predictor_matches_single_device(tiny_model, tmp_path):
+    """data_parallel=True shards the request batch over all 8 fake devices
+    and must return the same logits/masks as the single-device Predictor,
+    including the zero-pad path when batch % n_devices != 0."""
+    model, variables = tiny_model
+    exported = export_predict_fn(model.apply, variables, (32, 32, 1),
+                                 platforms=("cpu",))
+    out_dir = str(tmp_path / "artifact")
+    save_artifact(exported, {}, out_dir)
+
+    single = Predictor(out_dir)
+    sharded = Predictor(out_dir, data_parallel=True)
+    assert sharded._n_shard == len(jax.devices()) == 8
+
+    rs = np.random.RandomState(2)
+    for batch in (8, 16, 5):  # divisible, multiple, pad path
+        x = rs.randn(batch, 32, 32, 1).astype(np.float32)
+        got = np.asarray(sharded.logits(x))
+        want = np.asarray(single.logits(x))
+        assert got.shape == want.shape == (batch, 32, 32, 2)
+        # same program, different device partitioning -> reassociation noise
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(sharded.predict_masks(x),
+                                      np.asarray(want).argmax(-1))

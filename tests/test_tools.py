@@ -61,3 +61,25 @@ def test_calc_mean_std_on_synthetic():
                  "--limit", "8"])
     out = proc.stdout.lower()
     assert "mean" in out and "std" in out, proc.stdout[-500:]
+
+
+def test_profile_report_summarizes_trace(tmp_path):
+    """Capture a tiny jax.profiler trace (CPU fallback path) and check the
+    per-kernel-class table comes out with the expected classes."""
+    trace = str(tmp_path / "trace")
+    capture = (
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "f = jax.jit(lambda x: jnp.tanh(x @ x).sum())\n"
+        "x = jnp.ones((256, 256)); f(x).block_until_ready()\n"
+        f"jax.profiler.start_trace({trace!r})\n"
+        "for _ in range(2): f(x).block_until_ready()\n"
+        "jax.profiler.stop_trace()\n"
+    )
+    script = tmp_path / "cap.py"
+    script.write_text(capture)
+    _run([str(script)])
+    proc = _run(["tools/profile_report.py", trace])
+    assert "device busy" in proc.stdout
+    assert "matmul" in proc.stdout
+    assert "dot_general" in proc.stdout

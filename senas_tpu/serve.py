@@ -119,7 +119,16 @@ class Predictor:
         if data_parallel:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            devs = list(devices if devices is not None else jax.devices())
+            # Devices must be addressable by THIS process: logits() feeds
+            # host numpy arrays, which cannot be laid out onto another
+            # host's chips. Default is therefore local_devices(), not the
+            # global devices() (identical in single-process serving); a
+            # multi-host serving fleet runs one Predictor per host.
+            devs = list(devices if devices is not None
+                        else jax.local_devices())
+            if not devs:
+                raise ValueError("Predictor(data_parallel=True): no "
+                                 "addressable devices (pass devices=...)")
             mesh = Mesh(np.asarray(devs), ("data",))
             self._n_shard = len(devs)
             self.mesh = mesh

@@ -19,9 +19,17 @@ DEFAULT_DIR = os.path.join(
     ".jax_cache")
 
 
-def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
+def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0,
+           verbose: bool | None = None) -> str:
     """Enable the persistent compilation cache via jax.config (robust against
-    pre-imported jax). Returns the cache dir in use."""
+    pre-imported jax). Returns the cache dir in use.
+
+    verbose (or SENAS_CACHE_LOG=1): stream per-compile persistent-cache
+    hit/miss lines to stderr (VERDICT r3 #7 — the driver's bench capture
+    must record WHY a compile was cold, not leave it to guesswork). The
+    jax._src.compiler module logs "Persistent compilation cache hit/miss
+    for '<fingerprint>'" at DEBUG level per lowered computation.
+    """
     import jax
 
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
@@ -31,4 +39,18 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if verbose is None:
+        verbose = os.environ.get("SENAS_CACHE_LOG", "0") == "1"
+    if verbose:
+        import logging
+        import sys
+        for name in ("jax._src.compiler", "jax._src.compilation_cache"):
+            lg = logging.getLogger(name)
+            lg.setLevel(logging.DEBUG)
+            if not any(getattr(h, "_senas_cache_log", False)
+                       for h in lg.handlers):
+                h = logging.StreamHandler(sys.stderr)
+                h.setFormatter(logging.Formatter("[cache] %(message)s"))
+                h._senas_cache_log = True
+                lg.addHandler(h)
     return cache_dir

@@ -1,0 +1,123 @@
+"""Unit tests for bench.py's headline emission + last-good store.
+
+These pin the VERDICT r3 #2/#3 contract: a field measured by ANY previous
+run is never dropped from the emitted headline or from
+bench_last_good.json — a harness kill after the first stage must still
+leave the flagship `senas_search_steps_per_sec` metric in the capture
+(stale-labeled when not re-measured this run). Round 3 lost the stored
+search headline to exactly this downgrade (bench.py used to overwrite
+last-good with whatever the current stage had measured).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+@pytest.fixture
+def repo(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    return tmp_path
+
+
+def _last_good(repo):
+    with open(os.path.join(repo, "bench_last_good.json")) as f:
+        return json.load(f)
+
+
+def _emitted(capsys):
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    return json.loads(lines[-1])
+
+
+TRAIN = {"images_per_sec": 85.5, "mfu": 0.0578, "hbm_util": 0.7616}
+SEARCH = {"steps_per_sec": 2.345, "hbm_util": 0.8578}
+
+
+def test_fresh_search_headline(repo, capsys):
+    results = {"train_bf16": dict(TRAIN), "search_fused": dict(SEARCH)}
+    bench._emit_headline(results, 256, 12)
+    line = _emitted(capsys)
+    assert line["metric"] == "senas_search_steps_per_sec"
+    assert line["value"] == 2.345
+    assert "search_stale" not in line
+    assert line["train_images_per_sec"] == 85.5
+    assert _last_good(repo)["headline"]["value"] == 2.345
+
+
+def test_train_only_run_promotes_stale_search(repo, capsys):
+    # round N measured search; round N+1 is killed after the train stage
+    bench._emit_headline({"search_fused": dict(SEARCH)}, 256, 12)
+    t0 = _last_good(repo)["measured_at"]
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    line = _emitted(capsys)
+    assert line["metric"] == "senas_search_steps_per_sec"
+    assert line["value"] == 2.345
+    assert line["search_stale"] is True
+    assert line["search_stale_measured_at"] == t0
+    assert line["search_hbm_util"] == 0.8578
+    # fresh train fields ride along
+    assert line["train_images_per_sec"] == 85.5
+    assert line["train_mfu"] == 0.0578
+
+
+def test_last_good_never_downgraded(repo):
+    """The r3 bug: a train-only emit OVERWROTE the stored search headline."""
+    bench._emit_headline({"search_fused": dict(SEARCH)}, 256, 12)
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    lg = _last_good(repo)["headline"]
+    assert lg["metric"] == "senas_search_steps_per_sec"
+    assert lg["value"] == 2.345
+
+
+def test_stale_timestamp_survives_generations(repo, capsys):
+    bench._emit_headline({"search_fused": dict(SEARCH)}, 256, 12)
+    t0 = _last_good(repo)["measured_at"]
+    # two successive train-only rounds: the ORIGINAL measurement time
+    # must survive every carry-forward generation
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    line = _emitted(capsys)
+    assert line["search_stale_measured_at"] == t0
+    assert _last_good(repo)["headline"]["search_stale_measured_at"] == t0
+
+
+def test_train_only_no_history(repo, capsys):
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    line = _emitted(capsys)
+    assert line["metric"] == "senas_fixed_train_images_per_sec"
+    assert line["value"] == 85.5
+    assert "search_stale" not in line
+
+
+def test_fresh_search_clears_stale_markers(repo, capsys):
+    bench._emit_headline({"search_fused": dict(SEARCH)}, 256, 12)
+    bench._emit_headline({"train_bf16": dict(TRAIN)}, 256, 12)
+    fresh = {"steps_per_sec": 2.5, "hbm_util": 0.86}
+    bench._emit_headline({"search_fused": fresh,
+                          "train_bf16": dict(TRAIN)}, 256, 12)
+    line = _emitted(capsys)
+    assert line["value"] == 2.5
+    assert "search_stale" not in line
+    assert _last_good(repo)["headline"]["value"] == 2.5
+
+
+def test_quick_shapes_never_promote_anchored_numbers(repo, capsys):
+    """hw != 256 (a --quick / CPU run) must not mix stale 256² anchors into
+    its line, and must still not destroy the stored search headline."""
+    bench._emit_headline({"search_fused": dict(SEARCH)}, 256, 12)
+    bench._emit_headline({"train_bf16": {"images_per_sec": 3.0}}, 64, 12)
+    line = _emitted(capsys)
+    assert line["metric"] == "senas_fixed_train_images_per_sec"
+    assert "search_stale" not in line
+    # a quick-run emit never writes last-good: the stored anchored
+    # search headline survives untouched
+    lg = _last_good(repo)["headline"]
+    assert lg["metric"] == "senas_search_steps_per_sec"
+    assert lg["value"] == 2.345

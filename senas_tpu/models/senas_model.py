@@ -109,10 +109,13 @@ class Head(nn.Module):
     c_in1: int
     nclass: int
     dtype: Optional[Any] = None
+    # the (possibly nn.remat-wrapped) cell class — SenasModel passes its own
+    # so remat=True really does cover EVERY cell, the head's included
+    cell_cls: Any = BuildCell
 
     def setup(self):
-        self.up_cell = BuildCell(self.genotype, self.double_down, self.c_in0,
-                                 self.c_in1, self.c_in1, "up", dtype=self.dtype)
+        self.up_cell = self.cell_cls(self.genotype, self.double_down, self.c_in0,
+                                     self.c_in1, self.c_in1, "up", dtype=self.dtype)
         self.segmentation_head = ReLUConv(self.nclass, kernel_size=3, dtype=self.dtype)
 
     def __call__(self, s0, ot, train: bool = False):
@@ -195,7 +198,8 @@ class SenasModel(nn.Module):
         self.up_cells = up_cells
 
         self.head = Head(genotype, double_down, self.c,
-                         num_filters[-1][0][2], self.nclass, dtype=self.dtype)
+                         num_filters[-1][0][2], self.nclass, dtype=self.dtype,
+                         cell_cls=Cell)
 
     def __call__(self, x, train: bool = False):
         # stem0: [B,H,W,in] -> [B,H,W,c]; stem1: -> [B,H/2,W/2,c]

@@ -120,9 +120,12 @@ class SearchHead(nn.Module):
     nclass: int
     dtype: Optional[Any] = None
     fused: bool = True
+    # the (possibly nn.remat-wrapped) cell class — SenasSearch passes its
+    # own so remat=True covers EVERY cell, the head's included
+    cell_cls: Optional[Any] = None
 
     def setup(self):
-        Cell = FusedSearchCell if self.fused else SearchCell
+        Cell = self.cell_cls or (FusedSearchCell if self.fused else SearchCell)
         self.up_cell = Cell(self.meta_node_num, self.double_down, self.c_in0,
                             self.c_in1, self.c_in1, "up", dtype=self.dtype)
         self.segmentation_head = ReLUConv(self.nclass, kernel_size=3, dtype=self.dtype)
@@ -202,7 +205,7 @@ class SenasSearch(nn.Module):
 
         self.head = SearchHead(self.meta_node_num, double_down, self.c,
                                num_filters[-1][0][2], self.nclass, dtype=self.dtype,
-                               fused=self.fused)
+                               fused=self.fused, cell_cls=Cell)
 
     def __call__(self, x, aw: Dict[str, jax.Array], train: bool = False):
         a_dn_nm, a_up_nm = aw["alphas_dn_nm"], aw["alphas_up_nm"]

@@ -34,6 +34,11 @@ def find_xplane(path: str) -> str:
                             recursive=True))
     if not hits:
         raise SystemExit(f"no *.xplane.pb under {path}")
+    if len(hits) > 1:
+        # multi-host captures write one xplane per host, and repeated runs
+        # stack timestamped dirs — make partial coverage visible
+        print(f"note: {len(hits)} xplane files under {path}; reporting the "
+              f"newest: {hits[-1]}", file=sys.stderr)
     return hits[-1]  # newest run sorts last (timestamped dirs)
 
 
@@ -45,11 +50,14 @@ def classify(name: str) -> str:
         return "layout copy"
     if "convolution" in n or n.startswith(("conv", "cudnn")):
         return "convolution"
-    if n.startswith(("reduce", "all-reduce", "reduce-scatter")):
-        return "reduce"
-    if n.startswith(("all-gather", "all-to-all", "collective", "ppermute",
-                     "partition", "replica")):
+    # cross-device ops FIRST: 'all-reduce'/'reduce-scatter' must not fall
+    # into the plain 'reduce' prefix bucket — on multi-chip traces the
+    # collective row is the whole point of this report
+    if n.startswith(("all-gather", "all-reduce", "all-to-all", "ppermute",
+                     "collective", "reduce-scatter", "partition", "replica")):
         return "collective"
+    if n.startswith("reduce"):
+        return "reduce"
     if n.startswith(("dot", "gemm", "matmul")):
         return "matmul"
     if n.startswith(("dynamic", "gather", "scatter", "select-and-scatter",

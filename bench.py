@@ -567,6 +567,27 @@ def _emit_headline(results, hw: int, train_bs: int):
     for extra in ("epilogue_search_speedup", "bn_train_speedup"):
         if extra in results:
             line[extra] = round(results[extra], 3)
+    # Carry forward the OTHER previously measured ride-along fields this run
+    # hasn't (yet) re-measured — the merge rule cuts both ways: a fresh
+    # search-only emit must not drop a stored train/inference number any
+    # more than a train-only emit may drop the search headline.
+    if comparable:
+        last = _last_good_headline()
+        if last is not None:
+            carried = []
+            for k, v in last["headline"].items():
+                if k not in line and k not in ("metric", "value", "unit",
+                                               "vs_baseline", "search_stale",
+                                               "search_stale_measured_at",
+                                               "train_fresh", "stale_fields",
+                                               "stale_fields_measured_at"):
+                    line[k] = v
+                    carried.append(k)
+            if carried:
+                line["stale_fields"] = sorted(carried)
+                line["stale_fields_measured_at"] = (
+                    last["headline"].get("stale_fields_measured_at")
+                    or last.get("measured_at"))
     results["headline"] = line
     print(json.dumps(line), flush=True)
     if line.get("value") is not None and comparable:

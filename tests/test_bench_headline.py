@@ -108,6 +108,32 @@ def test_fresh_search_clears_stale_markers(repo, capsys):
     assert _last_good(repo)["headline"]["value"] == 2.5
 
 
+def test_search_only_emit_carries_ride_along_fields(repo, capsys):
+    """The merge rule cuts both ways: a fresh search-only emit (search runs
+    FIRST now) must not drop previously measured train/inference numbers
+    from the line or the last-good store."""
+    bench._emit_headline({"train_bf16": dict(TRAIN), "search_fused": dict(SEARCH),
+                          "inference_bf16": {"batch1_p50_ms": 40.0,
+                                             "batch64_images_per_sec": 473.0}},
+                         256, 12)
+    t0 = _last_good(repo)["measured_at"]
+    # next round killed right after the (first) search stage
+    bench._emit_headline({"search_fused": {"steps_per_sec": 2.4,
+                                           "hbm_util": 0.86}}, 256, 12)
+    line = _emitted(capsys)
+    assert line["value"] == 2.4 and "search_stale" not in line
+    assert line["train_images_per_sec"] == 85.5
+    assert line["inference_batch1_p50_ms"] == 40.0
+    assert set(line["stale_fields"]) >= {"train_images_per_sec",
+                                         "inference_batch1_p50_ms"}
+    assert line["stale_fields_measured_at"] == t0
+    lg = _last_good(repo)["headline"]
+    assert lg["value"] == 2.4 and lg["train_images_per_sec"] == 85.5
+    # a third search-only generation keeps the ORIGINAL timestamp
+    bench._emit_headline({"search_fused": {"steps_per_sec": 2.41}}, 256, 12)
+    assert _emitted(capsys)["stale_fields_measured_at"] == t0
+
+
 def test_quick_shapes_never_promote_anchored_numbers(repo, capsys):
     """hw != 256 (a --quick / CPU run) must not mix stale 256² anchors into
     its line, and must still not destroy the stored search headline."""

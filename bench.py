@@ -700,6 +700,20 @@ def main():
     def remaining() -> float:
         return args.budget - (time.monotonic() - t_start)
 
+    # FIRST act, before the device probe or any jax init: put the best
+    # previously measured headline on stdout, stale-labeled. The probe phase
+    # alone can take 240-900 s when the tunnel is down; a harness kill in
+    # that window must still leave a parseable flagship line. (The same
+    # payload is re-emitted fresh/merged as stages complete, so both
+    # first-line and last-line parsers see a headline either way.)
+    if not args.quick:
+        _lg = _last_good_headline()
+        if _lg is not None:
+            _b = dict(_lg["headline"])
+            _b["stale"] = True
+            _b["stale_measured_at"] = _lg.get("measured_at")
+            print(json.dumps(_b), flush=True)
+
     # Probe with retries + backoff (VERDICT r2 #4: one 240s attempt nulled a
     # whole round; the tunnel recovers on minute timescales, so retry while
     # the budget allows).
@@ -814,17 +828,8 @@ def main():
     results = {"platform": platform, "device": str(jax.devices()[0]), "hw": hw,
                "steps_timed": steps}
 
-    # Bootstrap emit (VERDICT r3 #2): before ANY stage runs, put the best
-    # previously measured headline on stdout, fully stale-labeled. A harness
-    # kill during the very first compile then still leaves a parseable
-    # flagship line instead of nothing. Never written back to last-good.
-    if hw == 256:
-        last = _last_good_headline()
-        if last is not None:
-            boot = dict(last["headline"])
-            boot["stale"] = True
-            boot["stale_measured_at"] = last.get("measured_at")
-            print(json.dumps(boot), flush=True)
+    # (The stale bootstrap emit happens as main()'s FIRST act, before the
+    # device probe — see above. Never written back to last-good.)
 
     def stage(key, desc, fn, needed: float, retries: int = 0,
               retry_needed: float | None = None):

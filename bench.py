@@ -33,8 +33,11 @@ import os
 import sys
 import time
 
-_REPO = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, _REPO)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# Artifact dir for bench_results.json / bench_last_good.json / .jax_cache.
+# Tests point it at a tmp dir to drive full bench.py runs in isolation.
+_REPO = os.environ.get("SENAS_BENCH_REPO", _HERE)
+sys.path.insert(0, _HERE)
 
 import jax
 import jax.numpy as jnp

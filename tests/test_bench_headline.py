@@ -134,6 +134,43 @@ def test_search_only_emit_carries_ride_along_fields(repo, capsys):
     assert _emitted(capsys)["stale_fields_measured_at"] == t0
 
 
+@pytest.mark.slow
+def test_unreachable_device_run_emits_stale_first_line(tmp_path):
+    """Drive the REAL bench.py binary with the device probe forced to fail
+    instantly: the first stdout line must already be the stale-labeled
+    flagship headline (emitted before the probe — the probe phase alone is
+    240-900s when the tunnel is down, and a harness kill there used to
+    leave a capture with no flagship line), and the process must exit 0."""
+    import subprocess
+    bench_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    stored = {"headline": {"metric": "senas_search_steps_per_sec",
+                           "value": 2.345, "unit": "steps/sec/chip",
+                           "vs_baseline": 261.0},
+              "measured_at": "2026-08-19 00:00:00"}
+    with open(tmp_path / "bench_last_good.json", "w") as f:
+        json.dump(stored, f)
+    env = dict(os.environ)
+    env.update(SENAS_BENCH_REPO=str(tmp_path),
+               SENAS_DEVICE_PROBE_TIMEOUT="2",
+               SENAS_DEVICE_PROBE_ATTEMPTS="1")
+    r = subprocess.run([sys.executable, bench_py], env=env, timeout=300,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    first = json.loads(lines[0])
+    assert first["metric"] == "senas_search_steps_per_sec"
+    assert first["value"] == 2.345
+    assert first["stale"] is True
+    assert first["stale_measured_at"] == "2026-08-19 00:00:00"
+    # the unreachable-exit line also carries the stale headline + the error
+    last = json.loads(lines[-1])
+    assert last["value"] == 2.345 and "unreachable" in last.get("error", "")
+    # and the stored last-good was not destroyed by the failed run
+    with open(tmp_path / "bench_last_good.json") as f:
+        assert json.load(f)["headline"]["value"] == 2.345
+
+
 def test_quick_shapes_never_promote_anchored_numbers(repo, capsys):
     """hw != 256 (a --quick / CPU run) must not mix stale 256² anchors into
     its line, and must still not destroy the stored search headline."""

@@ -830,6 +830,16 @@ def main():
         f"steps={steps} budget={args.budget:.0f}s")
     results = {"platform": platform, "device": str(jax.devices()[0]), "hw": hw,
                "steps_timed": steps}
+    try:
+        # The backend/compiler version is part of XLA's persistent-cache
+        # key: a tunnel reconnect onto an upgraded worker silently
+        # invalidates every cached TPU executable (observed 2026-08-20 —
+        # the search jit_step missed with a new key across an outage with
+        # identical code+env). Record it so cache-coldness diagnoses can
+        # separate backend flips from code-key changes.
+        results["platform_version"] = jax.devices()[0].client.platform_version
+    except Exception:
+        pass
 
     # (The stale bootstrap emit happens as main()'s FIRST act, before the
     # device probe — see above. Never written back to last-good.)

@@ -47,6 +47,11 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0,
         for name in ("jax._src.compiler", "jax._src.compilation_cache"):
             lg = logging.getLogger(name)
             lg.setLevel(logging.DEBUG)
+            # stop root-logger propagation: without this every cache event
+            # printed TWICE (the [cache] handler + the root handler), which
+            # doubled the stdout flood that nulled the round-4 driver
+            # capture (VERDICT r4 weak #2)
+            lg.propagate = False
             if not any(getattr(h, "_senas_cache_log", False)
                        for h in lg.handlers):
                 h = logging.StreamHandler(sys.stderr)

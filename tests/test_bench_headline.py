@@ -171,6 +171,71 @@ def test_unreachable_device_run_emits_stale_first_line(tmp_path):
         assert json.load(f)["headline"]["value"] == 2.345
 
 
+@pytest.mark.slow
+def test_timeout_killed_run_tail_still_parses(tmp_path):
+    """The VERDICT r4 #1 done-criterion, driven against the real binary.
+
+    The driver runs `timeout <window> python bench.py` and parses the last
+    JSON line inside a BOUNDED ~2000-char tail of merged stdout+stderr
+    (measured across BENCH_r01-r04). Simulate the historical failure mode —
+    a long stall (standing in for a 10-minute native compile) with heavy
+    stderr chatter that scrolls thousands of chars past any single early
+    emit — and assert the tail still ends with a parseable headline whose
+    value is non-null, thanks to the heartbeat + the SIGTERM watcher."""
+    import subprocess
+    bench_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    stored = {"headline": {"metric": "senas_search_steps_per_sec",
+                           "value": 2.345, "unit": "steps/sec/chip",
+                           "vs_baseline": 261.0},
+              "measured_at": "2026-08-19 00:00:00"}
+    with open(tmp_path / "bench_last_good.json", "w") as f:
+        json.dump(stored, f)
+    env = dict(os.environ)
+    env.update(SENAS_BENCH_REPO=str(tmp_path),
+               SENAS_BENCH_STALL_S="300",       # "compile" far beyond the kill
+               SENAS_BENCH_STALL_NOISE_HZ="20",  # ~1.6 KB/s of stderr chatter
+               SENAS_HEARTBEAT_S="2")
+    r = subprocess.run(["timeout", "12", sys.executable, bench_py],
+                       env=env, timeout=120, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, text=True)
+    assert r.returncode == 124  # killed by the window, like the driver's
+    tail = r.stdout[-2000:]
+    json_lines = [l for l in tail.splitlines()
+                  if l.strip().startswith("{") and l.strip().endswith("}")]
+    assert json_lines, f"no JSON line in the 2000-char tail: ...{tail[-400:]}"
+    last = json.loads(json_lines[-1])
+    assert last["metric"] == "senas_search_steps_per_sec"
+    assert last["value"] == 2.345
+    # the final act is the SIGTERM watcher's emit, timestamped so the kill
+    # window is measurable post-hoc from the capture itself
+    assert last.get("killed") is True
+    assert "elapsed_s" in last and "at" in last
+    # heartbeats fired while the "compile" was in flight
+    assert any('"heartbeat": true' in l for l in r.stdout.splitlines())
+
+
+@pytest.mark.slow
+def test_quiet_default_no_cache_flood(tmp_path):
+    """Cache hit/miss logging must be OPT-IN: the hardcoded verbose=True
+    flood (2 lines per compile event) is what buried the r04 capture."""
+    import subprocess
+    bench_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    env = dict(os.environ)
+    env.pop("SENAS_CACHE_LOG", None)
+    env.update(SENAS_BENCH_REPO=str(tmp_path),
+               SENAS_BENCH_STALL_S="2")
+    # a tiny jit compile happens inside the stall window via jax import +
+    # enable_cache; with the probe failing fast the run exits quickly
+    env.update(SENAS_DEVICE_PROBE_TIMEOUT="2", SENAS_DEVICE_PROBE_ATTEMPTS="1")
+    r = subprocess.run([sys.executable, bench_py], env=env, timeout=300,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "[cache]" not in r.stderr
+    assert "DEBUG:" not in r.stderr
+
+
 def test_quick_shapes_never_promote_anchored_numbers(repo, capsys):
     """hw != 256 (a --quick / CPU run) must not mix stale 256² anchors into
     its line, and must still not destroy the stored search headline."""

@@ -741,13 +741,24 @@ def _stale_search_fields():
 
 
 def _last_good_headline():
-    try:
-        with open(os.path.join(_REPO, "bench_last_good.json")) as f:
-            d = json.load(f)
-        if d.get("headline", {}).get("value") is not None:
-            return d
-    except Exception:
-        pass
+    """Best previously measured headline for the stale-bootstrap/merge paths.
+
+    Two-file design (ADVICE r4): `bench_last_good.json` is the UNTRACKED
+    runtime store this process rewrites on every successful anchored run —
+    keeping it out of git stops the constant tracked-file churn.
+    `bench_headline_seed.json` is the COMMITTED insurance copy, refreshed
+    deliberately at round close — it is what survives a VM re-image (which
+    wipes everything untracked, .jax_cache included; observed twice in
+    round 4) so even a fully cold driver run still bootstraps the flagship
+    line. Runtime store wins when both exist (it is never older)."""
+    for name in ("bench_last_good.json", "bench_headline_seed.json"):
+        try:
+            with open(os.path.join(_REPO, name)) as f:
+                d = json.load(f)
+            if d.get("headline", {}).get("value") is not None:
+                return d
+        except Exception:
+            pass
     return None
 
 

@@ -1021,9 +1021,18 @@ def main():
             return
         log(f"{desc} ...")
         fund = retry_needed if retry_needed is not None else needed + 60
+        t_stage = time.monotonic()
         for attempt in range(retries + 1):
             try:
                 results[key] = fn()
+                # wall-clock bookkeeping for the stage-budget table
+                # (BASELINE.md driver-window sizing): how long the stage
+                # really took and where in the run it finished
+                if isinstance(results[key], dict):
+                    results[key]["stage_wall_s"] = round(
+                        time.monotonic() - t_stage, 1)
+                    results[key]["done_at_s"] = round(
+                        time.monotonic() - t_start, 1)
                 log(f"  done in stage; "
                     f"{json.dumps(results[key], default=str)[:200]}")
                 break

@@ -242,9 +242,14 @@ def bench_fixed_train(batch: int, hw: int, steps: int, dtype=None):
     t0 = time.perf_counter()
     compiled = step.lower(state, batch_d).compile()
     state, metrics = compiled(state, batch_d)
-    jax.block_until_ready(metrics["loss"])
-    compile_s = time.perf_counter() - t0
+    # float() forces the first execution: block_until_ready does NOT block
+    # on this backend, and the device load of a cached executable is LAZY —
+    # deferred to the first call (tools/search_load_floor.py measurement).
+    # Without the forced readback compile_s stops early and the first timed
+    # step silently absorbs the load (run-1 r5 capture: search stage_wall
+    # 915 s vs compile_s 417 s).
     loss0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
 
     holder = {"state": state}
 
@@ -390,7 +395,10 @@ def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
     t0 = time.perf_counter()
     compiled = step.lower(state, tb, vb, True).compile()
     state, metrics = compiled(state, tb, vb)
-    jax.block_until_ready(metrics["loss"])
+    # forced readback: see bench_fixed_train — compile_s must include the
+    # lazy first-execution device load or it under-reports by minutes on
+    # the 822 MB search executable
+    loss_first = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
     holder = {"state": state}
 
@@ -411,7 +419,7 @@ def bench_search(batch: int, hw: int, steps: int, fused: bool, dtype=None):
         "steps_per_sec": 1.0 / sec,
         "images_per_sec": batch / sec,
         "compile_s": compile_s,
-        "loss_first_step": float(metrics["loss"]),
+        "loss_first_step": loss_first,
         **_cost_metrics(compiled, sec),
     }
 

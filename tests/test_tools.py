@@ -83,3 +83,31 @@ def test_profile_report_summarizes_trace(tmp_path):
     assert "device busy" in proc.stdout
     assert "matmul" in proc.stdout
     assert "dot_general" in proc.stdout
+
+
+def test_bench_window_report_reads_kill_time(tmp_path):
+    """The heartbeat/killed stamps in a capture tail encode the driver's
+    kill window; the report tool must read it back (VERDICT r4 #5)."""
+    lines = [
+        json.dumps({"metric": "senas_search_steps_per_sec", "value": 2.3,
+                    "heartbeat": True, "elapsed_s": 60.0, "at": "00:01:00"}),
+        "stderr noise between JSON lines",
+        json.dumps({"metric": "senas_search_steps_per_sec", "value": 2.3,
+                    "killed": True, "elapsed_s": 301.5, "at": "00:05:01"}),
+    ]
+    # driver-artifact form: {"tail": ..., "rc": 124}
+    art = tmp_path / "BENCH_rX.json"
+    art.write_text(json.dumps({"tail": "\n".join(lines), "rc": 124}))
+    proc = _run(["tools/bench_window_report.py", str(art)])
+    r = json.loads(proc.stdout.strip())
+    assert r["kill_window_s"] == 301.5
+    assert "exact" in r["window_source"]
+    assert r["last_headline_value"] == 2.3
+    assert r["heartbeats"] == 1
+    # heartbeat-only capture: lower bound
+    art2 = tmp_path / "BENCH_rY.json"
+    art2.write_text(json.dumps({"tail": lines[0], "rc": 124}))
+    r2 = json.loads(_run(["tools/bench_window_report.py",
+                          str(art2)]).stdout.strip())
+    assert r2["kill_window_s"] == 60.0
+    assert "lower bound" in r2["window_source"]
